@@ -1,0 +1,93 @@
+"""Headline benchmark: residual + Jacobian + gradient evaluation on a
+BAL-1778-scale bundle-adjustment problem.
+
+Reference baseline (BASELINE.md): jwmak/ceres-solver-cuda on NVIDIA V100
+evaluates Jacobian+residual for BAL problem-1778-993923 in 3.396 s over 15
+evaluations = 226.4 ms / evaluation (README.md:182). The BAL files are not
+bundled and this environment has no network egress, so the benchmark runs on
+a synthetic problem with the same structural shape and scale: 1778 cameras,
+993,923 points, 5,000,000 observations (Snavely 9+3 parameter blocks, 2
+residuals per observation).
+
+Prints ONE JSON line:
+  {"metric": "bal1778_jac_residual_eval_ms", "value": <ms per evaluation>,
+   "unit": "ms", "vs_baseline": <value / 226.4>}
+(vs_baseline < 1.0 means faster than the reference's V100.)
+"""
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("XLA_PYTHON_CLIENT_MEM_FRACTION", "0.92")
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from ceres_tpu.evaluator import Evaluator
+from ceres_tpu.io.bal import build_ba_problem, synthetic_bal
+
+BASELINE_MS = 3.396 / 15 * 1000.0  # V100, BAL-1778 (README.md:182)
+
+NUM_CAMERAS = 1778
+NUM_POINTS = 993_923
+NUM_OBSERVATIONS = 5_000_000
+NUM_EVALS = 15
+
+
+def main():
+    dev = jax.devices()[0]
+    on_tpu = dev.platform == "tpu"
+    scale = 1.0
+    if not on_tpu:
+        # CPU smoke mode so the benchmark is runnable anywhere
+        scale = 0.01
+
+    bal = synthetic_bal(
+        max(2, int(NUM_CAMERAS * scale)),
+        max(16, int(NUM_POINTS * scale)),
+        max(64, int(NUM_OBSERVATIONS * scale)),
+        seed=1,
+    )
+    problem, _, _ = build_ba_problem(bal)
+    program = problem.compile()
+    ev = Evaluator(program, dtype=jnp.float32)
+    state = program.state_vector(jnp.float32)
+
+    # warmup / compile
+    cost, res_groups, jac, grad = ev.evaluate_groups(state)
+    jax.block_until_ready((cost, grad))
+
+    t0 = time.perf_counter()
+    for _ in range(NUM_EVALS):
+        cost, res_groups, jac, grad = ev.evaluate_groups(state)
+    jax.block_until_ready((cost, res_groups, jac.jac_groups, grad))
+    elapsed = time.perf_counter() - t0
+    ms_per_eval = elapsed / NUM_EVALS * 1000.0
+
+    print(
+        json.dumps(
+            {
+                "metric": "bal1778_jac_residual_eval_ms",
+                "value": round(ms_per_eval, 3),
+                "unit": "ms",
+                "vs_baseline": round(ms_per_eval / BASELINE_MS, 4),
+                "platform": dev.platform,
+                "num_observations": int(bal.num_observations),
+                "baseline_ms": round(BASELINE_MS, 1),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,96 @@
+"""ceres_tpu — a TPU-native nonlinear least-squares framework.
+
+Built from scratch in JAX/XLA/Pallas with the capability surface of the
+reference system (Ceres Solver + jwmak's GPU-parallel cost-function
+evaluation layer; see SURVEY.md). Not a port: residual blocks batch by
+signature into vmapped XLA evaluations, Jacobians stay matrix-free on
+device, and multi-chip scaling uses jax.sharding meshes + collectives.
+"""
+
+from .autodiff import CostFunction, NumericDiffCostFunction
+from .loss import (
+    ArctanLoss,
+    CauchyLoss,
+    ComposedLoss,
+    HuberLoss,
+    LossFunction,
+    ScaledLoss,
+    SoftLOneLoss,
+    TolerantLoss,
+    TrivialLoss,
+    TukeyLoss,
+)
+from .manifolds import (
+    AutoDiffManifold,
+    EigenQuaternionManifold,
+    EuclideanManifold,
+    LineManifold,
+    Manifold,
+    ProductManifold,
+    QuaternionManifold,
+    SphereManifold,
+    SubsetManifold,
+)
+from .problem import Problem
+from .types import (
+    CallbackReturnType,
+    DoglegType,
+    IterationSummary,
+    LinearSolverType,
+    LineSearchDirectionType,
+    LineSearchType,
+    MinimizerType,
+    PreconditionerType,
+    SolverOptions,
+    Summary,
+    TerminationType,
+    TrustRegionStrategyType,
+)
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "CostFunction",
+    "NumericDiffCostFunction",
+    "Problem",
+    "SolverOptions",
+    "Summary",
+    "IterationSummary",
+    "LinearSolverType",
+    "PreconditionerType",
+    "TrustRegionStrategyType",
+    "DoglegType",
+    "MinimizerType",
+    "TerminationType",
+    "CallbackReturnType",
+    "LineSearchDirectionType",
+    "LineSearchType",
+    "LossFunction",
+    "TrivialLoss",
+    "HuberLoss",
+    "SoftLOneLoss",
+    "CauchyLoss",
+    "ArctanLoss",
+    "TolerantLoss",
+    "TukeyLoss",
+    "ScaledLoss",
+    "ComposedLoss",
+    "Manifold",
+    "EuclideanManifold",
+    "SubsetManifold",
+    "QuaternionManifold",
+    "EigenQuaternionManifold",
+    "SphereManifold",
+    "LineManifold",
+    "ProductManifold",
+    "AutoDiffManifold",
+    "solve",
+]
+
+
+def solve(options, problem):
+    """Solve the problem; returns a Summary. reference: ceres::Solve
+    (solver.cc:720-846)."""
+    from .solvers.solver import solve as _solve
+
+    return _solve(options, problem)

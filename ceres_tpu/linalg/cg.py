@@ -1,0 +1,106 @@
+"""Preconditioned conjugate gradients, generic over a matvec closure.
+
+TPU-native counterpart of the reference's ConjugateGradientsSolver
+(internal/ceres/conjugate_gradients_solver.h:108-311), which is templated
+over the vector type so one implementation serves Eigen and CUDA vectors.
+Here the same genericity comes for free: vectors are jnp arrays (replicated
+under sharding; the matvec performs any cross-device psum internally), and
+the loop is a `lax.while_loop` so the entire solve stays on device — the
+analog of CudaCgnrSolver keeping the whole CG loop on the GPU
+(cgnr_solver.cc:294-340).
+
+Termination mirrors the reference: residual tolerance |r| <= tol*|b|,
+Q-based stagnation test (Martin & Tisseur), max iterations, and breakdown
+guards on rho and pAp.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+
+class CGResult(NamedTuple):
+    x: jnp.ndarray
+    iterations: jnp.ndarray
+    final_norm: jnp.ndarray
+    converged: jnp.ndarray
+
+
+def conjugate_gradients(
+    matvec: Callable,
+    b: jnp.ndarray,
+    x0: Optional[jnp.ndarray] = None,
+    preconditioner: Optional[Callable] = None,
+    max_iterations: int = 500,
+    min_iterations: int = 0,
+    tolerance: float = 1e-9,
+    q_tolerance: float = 0.0,
+) -> CGResult:
+    """Solve A x = b with PCG; A must be SPD (as an operator).
+
+    Args:
+      matvec: x -> A x (may psum internally under shard_map).
+      preconditioner: r -> M^{-1} r (identity if None).
+      tolerance: stop when |r| <= tolerance * |b| (the reference's r_e
+        criterion, conjugate_gradients_solver.h:214-233).
+      q_tolerance: stop when the relative change of the quadratic model
+        Q(x) = -0.5 x'(b + r) falls below it (reference :240-270).
+    """
+    dtype = b.dtype
+    x0 = jnp.zeros_like(b) if x0 is None else x0
+    prec = preconditioner if preconditioner is not None else (lambda r: r)
+
+    norm_b = jnp.linalg.norm(b)
+    tol_r = tolerance * norm_b
+
+    r0 = b - matvec(x0)
+
+    def cond(state):
+        _x, _r, _rho, _p, _q, it, done = state
+        return jnp.logical_and(it < max_iterations, jnp.logical_not(done))
+
+    def body(state):
+        x, r, z_rho, p, q_prev, it, _ = state
+        z = prec(r)
+        rho_new = jnp.vdot(r, z)
+        first = it == 0
+        beta = jnp.where(first, 0.0, rho_new / jnp.where(z_rho != 0, z_rho, 1.0))
+        p_new = z + beta * p
+        ap = matvec(p_new)
+        pap = jnp.vdot(p_new, ap)
+        alpha = jnp.where(pap > 0, rho_new / jnp.where(pap != 0, pap, 1.0), 0.0)
+        x_new = x + alpha * p_new
+        r_new = r - alpha * ap
+
+        # Q-test (Martin & Tisseur): zeta = (q - q_prev)/q
+        q_new = -0.5 * (jnp.vdot(x_new, b + (b - r_new)))
+        zeta = jnp.where(
+            q_new != 0, (q_new - q_prev) / jnp.where(q_new != 0, q_new, 1.0), 1.0
+        )
+        it_new = it + 1
+        done_q = jnp.logical_and(
+            q_tolerance > 0,
+            jnp.logical_and(it_new > min_iterations, jnp.abs(zeta) < q_tolerance),
+        )
+        done_r = jnp.logical_and(
+            it_new >= min_iterations, jnp.linalg.norm(r_new) <= tol_r
+        )
+        done_breakdown = jnp.logical_or(pap <= 0, rho_new == 0)
+        done = jnp.logical_or(done_q, jnp.logical_or(done_r, done_breakdown))
+        return (x_new, r_new, rho_new, p_new, q_new, it_new, done)
+
+    init = (
+        x0,
+        r0,
+        jnp.asarray(0.0, dtype),
+        jnp.zeros_like(b),
+        jnp.asarray(0.0, dtype),
+        jnp.asarray(0, jnp.int32),
+        jnp.linalg.norm(r0) <= tol_r,
+    )
+    x, r, _, _, _, it, _ = jax.lax.while_loop(cond, body, init)
+    final_norm = jnp.linalg.norm(r)
+    return CGResult(x=x, iterations=it, final_norm=final_norm, converged=final_norm <= tol_r)

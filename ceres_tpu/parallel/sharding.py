@@ -1,0 +1,253 @@
+"""Multi-chip data parallelism: residual blocks sharded over a device mesh.
+
+The reference is single-process/single-GPU; its only parallel axis is
+thread/CUDA-thread data parallelism over residual blocks (SURVEY.md §2d).
+The TPU framework's scaling design (BASELINE.json north star): partition
+every signature group's residual blocks across the mesh axis, replicate the
+state vector and all tangent-space vectors, and express every reduction the
+reference performs with thrust::reduce / atomicAdd / per-thread scratch as
+an on-chip segment-sum followed by a cross-device psum:
+
+  cost      -> local sum          -> psum
+  gradient  -> local scatter-add  -> psum
+  J^T u     -> local scatter-add  -> psum   (inside every CG iteration)
+  block JtJ -> local scatter-add  -> psum   (preconditioner build)
+
+The PCG loops (CGNR / implicit Schur) run *inside* shard_map: replicated
+vector iterates, sharded matrix products — collectives ride the ICI.
+
+Groups are padded to a multiple of the mesh size with masked rows (the mask
+zeroes residuals and Jacobians before any reduction).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..evaluator import Evaluator, evaluate
+from ..utils.dtypes import default_dtype
+
+
+def _pad_rows(a: np.ndarray, target: int, pad_value=0):
+    n = a.shape[0]
+    if n == target:
+        return a
+    pad = np.full((target - n,) + a.shape[1:], pad_value, dtype=a.dtype)
+    return np.concatenate([a, pad], axis=0)
+
+
+def build_sharded_arrays(program, mesh: Mesh, axis: str, dtype=None):
+    """Pad each group to a multiple of the mesh axis size, add validity
+    masks, and lay out the group tensors with batch-axis sharding."""
+    dtype = dtype or default_dtype()
+    ndev = mesh.shape[axis]
+    num_eff = program.num_effective_parameters
+
+    groups = []
+    for meta, idx in zip(program.groups, program.group_idx):
+        n = meta.n
+        target = ((n + ndev - 1) // ndev) * ndev
+        g = {
+            "x_idx": tuple(
+                jnp.asarray(_pad_rows(np.asarray(a), target, 0)) for a in idx["x_idx"]
+            ),
+            "t_idx": tuple(
+                jnp.asarray(_pad_rows(np.asarray(a), target, num_eff))
+                for a in idx["t_idx"]
+            ),
+            "c_idx": tuple(
+                jnp.asarray(
+                    _pad_rows(
+                        np.asarray(ci),
+                        target,
+                        # dump slot of the class this position scatters into
+                        int(np.max(ci)) if ci.size else 0,
+                    )
+                )
+                for ci in (np.asarray(c) for c in idx["c_idx"])
+            ),
+            "data": tuple(
+                jnp.asarray(
+                    _pad_rows(np.asarray(d), target, 0),
+                    dtype=dtype if np.issubdtype(np.asarray(d).dtype, np.floating) else None,
+                )
+                for d in idx["data"]
+            ),
+            "mask": jnp.asarray(
+                _pad_rows(np.ones(n, dtype=np.float64), target, 0.0), dtype=dtype
+            ),
+        }
+        groups.append(g)
+
+    arrays = {
+        "groups": groups,
+        "euclid_x_idx": jnp.asarray(program.euclid_x_idx),
+        "euclid_d_idx": jnp.asarray(program.euclid_d_idx),
+        "manifold_groups": [
+            {"x_idx": jnp.asarray(g["x_idx"]), "d_idx": jnp.asarray(g["d_idx"])}
+            for g in program.manifold_group_idx
+        ],
+    }
+    if program.has_bounds:
+        arrays["lower_bound"] = jnp.asarray(program.lower_bound, dtype=dtype)
+        arrays["upper_bound"] = jnp.asarray(program.upper_bound, dtype=dtype)
+
+    specs = arrays_pspecs(program, arrays, axis)
+    sharded = jax.tree.map(
+        lambda leaf, spec: jax.device_put(leaf, NamedSharding(mesh, spec)),
+        arrays,
+        specs,
+    )
+    return sharded, specs
+
+
+def arrays_pspecs(program, arrays, axis: str):
+    """PartitionSpec pytree matching build_sharded_arrays output: group
+    tensors sharded on their leading (residual-block) axis, everything else
+    replicated."""
+
+    def group_spec(g):
+        return {
+            "x_idx": tuple(P(axis, None) for _ in g["x_idx"]),
+            "t_idx": tuple(P(axis, None) for _ in g["t_idx"]),
+            "c_idx": tuple(P(axis) for _ in g["c_idx"]),
+            "data": tuple(P(*((axis,) + (None,) * (d.ndim - 1))) for d in g["data"]),
+            "mask": P(axis),
+        }
+
+    specs = {
+        "groups": [group_spec(g) for g in arrays["groups"]],
+        "euclid_x_idx": P(None),
+        "euclid_d_idx": P(None),
+        "manifold_groups": [
+            {"x_idx": P(None, None), "d_idx": P(None, None)}
+            for _ in arrays["manifold_groups"]
+        ],
+    }
+    if "lower_bound" in arrays:
+        specs["lower_bound"] = P(None)
+        specs["upper_bound"] = P(None)
+    return specs
+
+
+def jac_pspecs(program, axis: str):
+    """PartitionSpec pytree for a BlockJacobian produced under sharding."""
+    jac_groups = tuple(
+        tuple(P(axis, None, None) for _ in meta.positions) for meta in program.groups
+    )
+    t_idx = tuple(
+        tuple(P(axis, None) for _ in meta.positions) for meta in program.groups
+    )
+    c_idx = tuple(tuple(P(axis) for _ in meta.positions) for meta in program.groups)
+    return (jac_groups, t_idx, c_idx)
+
+
+def res_groups_pspecs(program, axis: str):
+    return [P(axis, None) for _ in program.groups]
+
+
+class ShardedEvaluator(Evaluator):
+    """Evaluator whose group tensors are sharded over `mesh[axis]`.
+
+    Drop-in for Evaluator in the trust-region minimizer: evaluate_groups /
+    cost / plus keep identical signatures; residual groups and the
+    BlockJacobian stay device-sharded between calls.
+    """
+
+    def __init__(self, program, mesh: Mesh, axis: str = "dp", dtype=None):
+        self.program = program
+        self.mesh = mesh
+        self.axis = axis
+        self.axis_name = axis
+        self.dtype = dtype or default_dtype()
+        self.arrays, self.arrays_specs = build_sharded_arrays(
+            program, mesh, axis, self.dtype
+        )
+
+        rep = P()
+        jac_specs = jac_pspecs(program, axis)
+        res_specs = res_groups_pspecs(program, axis)
+
+        def _eval_impl(arrays, state, with_jacobian):
+            return evaluate(
+                program, arrays, state, with_jacobian=with_jacobian, axis_name=axis
+            )
+
+        self._evaluate_sharded = jax.jit(
+            jax.shard_map(
+                lambda arrays, state: _eval_impl(arrays, state, True),
+                mesh=mesh,
+                in_specs=(self.arrays_specs, rep),
+                out_specs=(rep, res_specs, jac_specs, rep),
+            )
+        )
+        self._cost_sharded = jax.jit(
+            jax.shard_map(
+                lambda arrays, state: _eval_impl(arrays, state, False)[0],
+                mesh=mesh,
+                in_specs=(self.arrays_specs, rep),
+                out_specs=rep,
+            )
+        )
+        from ..evaluator import plus as plus_fn
+
+        self._plus_sharded = jax.jit(
+            jax.shard_map(
+                lambda arrays, state, delta: plus_fn(program, arrays, state, delta),
+                mesh=mesh,
+                in_specs=(self.arrays_specs, rep, rep),
+                out_specs=rep,
+            )
+        )
+
+    # -- Evaluator-compatible API -------------------------------------- #
+
+    def cost(self, state):
+        return self._cost_sharded(self.arrays, state)
+
+    def evaluate_groups(self, state, apply_loss: bool = True):
+        cost, res_groups, (jac_g, t_idx, c_idx), grad = self._evaluate_sharded(
+            self.arrays, state
+        )
+        from ..jacobian import BlockJacobian
+
+        jac = BlockJacobian(self.program, jac_g, t_idx, c_idx, axis_name=self.axis)
+        return cost, res_groups, jac, grad
+
+    def plus(self, state, delta):
+        return self._plus_sharded(self.arrays, state, delta)
+
+    def wrap_step_fn(self, step_fn_raw):
+        """shard_map a strategy step function (strategies.make_lm_step_fn's
+        inner fn) so its matrix products run sharded with psum reductions."""
+        rep = P()
+        jac_specs = jac_pspecs(self.program, self.axis)
+        res_specs = res_groups_pspecs(self.program, self.axis)
+
+        def wrapper(jac, res_groups, grad, radius, scale):
+            children, _ = jac.tree_flatten()
+            return _sharded_step(children, res_groups, grad, radius, scale)
+
+        from ..jacobian import BlockJacobian
+
+        def _step_inner(jac_children, res_groups, grad, radius, scale):
+            jac_g, t_idx, c_idx = jac_children
+            jac = BlockJacobian(
+                self.program, jac_g, t_idx, c_idx, axis_name=self.axis
+            )
+            return step_fn_raw(jac, res_groups, grad, radius, scale)
+
+        _sharded_step = jax.jit(
+            jax.shard_map(
+                _step_inner,
+                mesh=self.mesh,
+                in_specs=(jac_specs, res_specs, rep, rep, rep),
+                out_specs=(rep, rep, rep, rep),
+            )
+        )
+        return wrapper

@@ -1,0 +1,86 @@
+"""Solve facade: validate -> compile -> minimize -> summarize.
+
+reference: Solver::Solve pipeline (solver.cc:720-846) + free ceres::Solve.
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+
+from ..evaluator import Evaluator
+from ..types import (
+    LinearSolverType,
+    MinimizerType,
+    Summary,
+    TerminationType,
+)
+
+
+def solve(options, problem) -> Summary:
+    summary = Summary()
+    total_start = time.time()
+
+    ok, msg = options.is_valid()
+    if not ok:
+        summary.termination_type = TerminationType.FAILURE
+        summary.message = f"Invalid options: {msg}"
+        return summary
+
+    # ---- preprocess (reference: trust_region_preprocessor.cc:373-405) ----
+    t0 = time.time()
+    summary.num_parameter_blocks = problem.num_parameter_blocks()
+    summary.num_parameters = problem.num_parameters()
+    summary.num_effective_parameters = problem.num_effective_parameters()
+    summary.num_residual_blocks = problem.num_residual_blocks()
+    summary.num_residuals = problem.num_residuals()
+    summary.minimizer_type = options.minimizer_type
+    summary.trust_region_strategy_type = options.trust_region_strategy_type
+    summary.linear_solver_type_used = options.linear_solver_type
+    summary.preconditioner_type_used = options.preconditioner_type
+
+    program = problem.compile(options)
+    summary.num_parameter_blocks_reduced = summary.num_parameter_blocks
+    summary.num_parameters_reduced = summary.num_parameters
+    summary.num_effective_parameters_reduced = program.num_effective_parameters
+    summary.num_residual_blocks_reduced = program.num_residual_blocks
+    summary.num_residuals_reduced = program.num_residuals
+
+    if program.num_residuals == 0:
+        summary.termination_type = TerminationType.CONVERGENCE
+        summary.message = "Problem has no residual blocks."
+        summary.preprocessor_time_in_seconds = time.time() - t0
+        summary.total_time_in_seconds = time.time() - total_start
+        return summary
+
+    if options.mesh is not None:
+        from ..parallel.sharding import ShardedEvaluator
+
+        evaluator = ShardedEvaluator(
+            program, options.mesh, axis=options.mesh_axis, dtype=options.dtype
+        )
+    else:
+        evaluator = Evaluator(program, dtype=options.dtype)
+    state = program.state_vector(options.dtype)
+    summary.preprocessor_time_in_seconds = time.time() - t0
+
+    # ---- minimize ----
+    t1 = time.time()
+    if options.minimizer_type == MinimizerType.TRUST_REGION:
+        from .trust_region import TrustRegionMinimizer
+
+        minimizer = TrustRegionMinimizer(program, options, evaluator)
+    else:
+        from .line_search import LineSearchMinimizer
+
+        minimizer = LineSearchMinimizer(program, options, evaluator)
+    final_state = minimizer.minimize(state, summary)
+    summary.minimizer_time_in_seconds = time.time() - t1
+
+    # ---- postprocess ----
+    t2 = time.time()
+    program.write_state_back(np.asarray(final_state))
+    summary.postprocessor_time_in_seconds = time.time() - t2
+    summary.total_time_in_seconds = time.time() - total_start
+    return summary

@@ -1,0 +1,174 @@
+"""Trust-region step computation: Levenberg-Marquardt (and dogleg) strategy
+fused with the linear solver into one jitted device function.
+
+reference: levenberg_marquardt_strategy.cc:68-172 + linear_solver.cc dispatch.
+TPU design: column scaling, LM diagonal, the linear solve, and the model-cost
+bookkeeping are one compiled graph; the host only sees scalars (radius in,
+step validity / model cost change out) — per SURVEY.md §7 "host-side control
+loop latency".
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..types import LinearSolverType, PreconditionerType
+from ..linalg.cg import conjugate_gradients
+from ..linalg.dense import solve_dense_normal_cholesky, solve_dense_qr
+from ..linalg.preconditioners import make_preconditioner
+
+
+def _model_cost_change(jac_scaled, step, res_groups):
+    """-m'(r + m/2) with m = J step; reference: trust_region_minimizer.cc
+    ComputeTrustRegionStep model_cost_change."""
+    m_groups = jac_scaled.right_multiply(step)
+    mcc = jnp.zeros((), dtype=step.dtype)
+    for m, r in zip(m_groups, res_groups):
+        mcc = mcc - jnp.vdot(m, r + 0.5 * m)
+    if jac_scaled.axis_name:
+        mcc = jax.lax.psum(mcc, jac_scaled.axis_name)
+    return mcc
+
+
+def make_lm_step_fn(program, options, evaluator):
+    """Build the jitted LM step function.
+
+    signature: (arrays, jac, res_groups, grad, radius, scale) ->
+       (delta, model_cost_change, lin_iters, step_is_valid)
+    """
+    solver_type = options.linear_solver_type
+    precond_type = options.preconditioner_type
+    min_diag = options.min_lm_diagonal
+    max_diag = options.max_lm_diagonal
+    eta = options.eta
+    max_lin_iters = options.max_linear_solver_iterations
+    min_lin_iters = options.min_linear_solver_iterations
+
+    def step_fn(jac, res_groups, grad, radius, scale):
+        jac_s = jac.scale_columns(scale)
+        grad_s = grad * scale
+
+        # LM diagonal D^2 = clamp(diag(J'J), min, max) / radius
+        # (levenberg_marquardt_strategy.cc:83-95)
+        colnorm2 = jac_s.squared_column_norms()
+        dsq = jnp.clip(colnorm2, min_diag, max_diag) / radius
+
+        lin_iters = jnp.asarray(0, jnp.int32)
+        if solver_type == LinearSolverType.DENSE_QR:
+            dense = jac_s.to_dense()
+            res_flat = jnp.concatenate([r.reshape(-1) for r in res_groups])
+            step = solve_dense_qr(dense, res_flat, dsq)
+        elif solver_type == LinearSolverType.DENSE_NORMAL_CHOLESKY:
+            dense = jac_s.to_dense()
+            res_flat = jnp.concatenate([r.reshape(-1) for r in res_groups])
+            step = solve_dense_normal_cholesky(dense, res_flat, dsq)
+        elif solver_type == LinearSolverType.CGNR:
+            prec = make_preconditioner(
+                precond_type
+                if precond_type
+                in (PreconditionerType.IDENTITY, PreconditionerType.JACOBI)
+                else PreconditionerType.JACOBI,
+                program,
+                jac_s,
+                dsq=dsq,
+            )
+            result = conjugate_gradients(
+                matvec=lambda v: jac_s.jtj_multiply(v, dsq),
+                b=-grad_s,
+                preconditioner=prec,
+                max_iterations=min(max_lin_iters, program.num_effective_parameters),
+                min_iterations=min_lin_iters,
+                tolerance=eta,
+            )
+            step = result.x
+            lin_iters = result.iterations
+        elif solver_type in (
+            LinearSolverType.ITERATIVE_SCHUR,
+            LinearSolverType.DENSE_SCHUR,
+            LinearSolverType.SPARSE_SCHUR,
+        ):
+            from ..linalg.schur import schur_solve
+
+            step, lin_iters = schur_solve(
+                program, options, jac_s, res_groups, grad_s, dsq
+            )
+        elif solver_type == LinearSolverType.SPARSE_NORMAL_CHOLESKY:
+            # TPU-side sparse Cholesky is not profitable; run CGNR with a
+            # strong block-Jacobi preconditioner as the capability fallback
+            # until the host sparse path lands (see linalg/sparse_cholesky).
+            prec = make_preconditioner(PreconditionerType.JACOBI, program, jac_s, dsq=dsq)
+            result = conjugate_gradients(
+                matvec=lambda v: jac_s.jtj_multiply(v, dsq),
+                b=-grad_s,
+                preconditioner=prec,
+                max_iterations=min(
+                    max_lin_iters * 4, 4 * program.num_effective_parameters
+                ),
+                min_iterations=min_lin_iters,
+                tolerance=1e-12,
+            )
+            step = result.x
+            lin_iters = result.iterations
+        else:
+            raise NotImplementedError(f"linear solver {solver_type}")
+
+        mcc = _model_cost_change(jac_s, step, res_groups)
+        delta = scale * step
+        valid = jnp.logical_and(jnp.all(jnp.isfinite(delta)), mcc > 0)
+        return delta, mcc, lin_iters, valid
+
+    return step_fn
+
+
+class TrustRegionStepEvaluator:
+    """Non-monotonic step acceptance bookkeeping.
+
+    Behavioural parity with the reference TrustRegionStepEvaluator
+    (trust_region_step_evaluator.cc:36-113): quality is the max of the
+    classic relative decrease and the decrease w.r.t. a reference iterate
+    updated every `max_consecutive_nonmonotonic_steps` accepted steps.
+    """
+
+    def __init__(self, initial_cost: float, max_consecutive_nonmonotonic_steps: int = 0):
+        self.max_consecutive_nonmonotonic_steps = max_consecutive_nonmonotonic_steps
+        self.minimum_cost = initial_cost
+        self.current_cost = initial_cost
+        self.reference_cost = initial_cost
+        self.candidate_cost = initial_cost
+        self.accumulated_reference_model_cost_change = 0.0
+        self.accumulated_candidate_model_cost_change = 0.0
+        self.num_consecutive_nonmonotonic_steps = 0
+
+    def step_quality(self, cost: float, model_cost_change: float) -> float:
+        relative_decrease = (self.current_cost - cost) / model_cost_change
+        historical_relative_decrease = (self.reference_cost - cost) / (
+            self.accumulated_reference_model_cost_change + model_cost_change
+        )
+        return max(relative_decrease, historical_relative_decrease)
+
+    def step_accepted(self, cost: float, model_cost_change: float):
+        self.current_cost = cost
+        self.accumulated_candidate_model_cost_change += model_cost_change
+        self.accumulated_reference_model_cost_change += model_cost_change
+        if self.current_cost < self.minimum_cost:
+            self.minimum_cost = self.current_cost
+            self.num_consecutive_nonmonotonic_steps = 0
+            self.candidate_cost = self.current_cost
+            self.accumulated_candidate_model_cost_change = 0.0
+        else:
+            self.num_consecutive_nonmonotonic_steps += 1
+            if self.current_cost > self.candidate_cost:
+                self.candidate_cost = self.current_cost
+                self.accumulated_candidate_model_cost_change = 0.0
+        if (
+            self.num_consecutive_nonmonotonic_steps
+            == self.max_consecutive_nonmonotonic_steps
+        ):
+            self.reference_cost = self.candidate_cost
+            self.accumulated_reference_model_cost_change = (
+                self.accumulated_candidate_model_cost_change
+            )
