@@ -31,7 +31,11 @@ from .manifolds import (
     SphereManifold,
     SubsetManifold,
 )
+from .covariance import Covariance, CovarianceOptions
+from .gradient_checker import check_gradients
+from .gradient_problem import GradientProblem, solve_gradient_problem
 from .problem import Problem
+from .tiny_solver import TinySolverOptions, tiny_solve, tiny_solve_batched
 from .types import (
     CallbackReturnType,
     DoglegType,
@@ -84,6 +88,14 @@ __all__ = [
     "LineManifold",
     "ProductManifold",
     "AutoDiffManifold",
+    "Covariance",
+    "CovarianceOptions",
+    "GradientProblem",
+    "solve_gradient_problem",
+    "check_gradients",
+    "tiny_solve",
+    "tiny_solve_batched",
+    "TinySolverOptions",
     "solve",
 ]
 

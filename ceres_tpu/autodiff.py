@@ -49,8 +49,22 @@ def value_and_jacobians(fn: Callable, params: tuple, data):
     eye = jnp.eye(total, dtype=dtype)
     offs = np.concatenate([[0], np.cumsum(sizes)]).astype(int)
 
+    def _match_vma(t, p):
+        # Under shard_map the primals are varying over the mesh axes; basis
+        # tangents are replicated constants and must be pcast to match.
+        try:
+            vma = jax.typeof(p).vma
+        except AttributeError:
+            return t
+        if vma:
+            return jax.lax.pcast(t, tuple(vma), to="varying")
+        return t
+
     def push(col):
-        tangents = tuple(col[offs[i] : offs[i + 1]] for i in range(len(sizes)))
+        tangents = tuple(
+            _match_vma(col[offs[i] : offs[i + 1]], params[i])
+            for i in range(len(sizes))
+        )
         return jvp(*tangents)
 
     jac_cols = jax.vmap(push)(eye)  # [total, r]

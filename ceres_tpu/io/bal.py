@@ -104,7 +104,16 @@ def _angle_axis_to_matrix(aa: np.ndarray) -> np.ndarray:
 
 
 def load_bal(path) -> BalProblem:
-    """Parse a BAL text file (examples/bal_problem.cc constructor)."""
+    """Parse a BAL text file (examples/bal_problem.cc constructor).
+
+    Uses the native mmap+from_chars parser (io/native.py) when the compiled
+    library exists; pure-Python fallback otherwise."""
+    from .native import load_bal_native
+
+    native = load_bal_native(str(path))
+    if native is not None:
+        cameras, points, cam_idx, pt_idx, obs = native
+        return BalProblem(cameras, points, cam_idx, pt_idx, obs)
     with open(path) as f:
         tokens = f.read().split()
     it = iter(tokens)

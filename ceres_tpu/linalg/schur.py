@@ -100,7 +100,9 @@ def schur_jacobi_blocks(program, jac_e, jac_f, ete_solver, dsq_f):
             corrections[cls] = corrections[cls].at[ci].add(corr)
     out = []
     for cls in range(len(ftf)):
-        out.append(ftf[cls] - corrections[cls])
+        # corrections are shard-local partial sums; ftf was already psummed
+        # inside block_diag_jtj.
+        out.append(ftf[cls] - jac_f._psum(corrections[cls]))
     return out
 
 
@@ -165,6 +167,24 @@ def schur_solve(program, options, jac_s, res_groups, grad_s, dsq):
         elif options.preconditioner_type == PreconditionerType.JACOBI:
             blocks = jac_f.block_diag_jtj(dsq=dsq_f)
             prec = BlockDiagSolver(program, blocks)
+        elif (
+            options.preconditioner_type
+            == PreconditionerType.SCHUR_POWER_SERIES_EXPANSION
+        ):
+            # M^{-1} v ~ truncated Neumann series around P = blockdiag(S):
+            # y <- y + P^{-1}(v - S y), a fixed number of fixed-point steps.
+            # reference: power_series_expansion_preconditioner.cc.
+            blocks = schur_jacobi_blocks(program, jac_e, jac_f, ete, dsq_f)
+            pinv = BlockDiagSolver(program, blocks)
+            iters = max(1, options.max_num_spse_iterations)
+
+            def prec(v, _pinv=pinv, _iters=iters):
+                y0 = _pinv(v)
+
+                def body(_, y):
+                    return y + _pinv(v - s_apply(y))
+
+                return jax.lax.fori_loop(0, _iters - 1, body, y0)
         else:
             prec = None
         result = conjugate_gradients(

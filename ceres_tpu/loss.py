@@ -163,6 +163,35 @@ class ScaledLoss(LossFunction):
         return self.a * r0, self.a * r1, self.a * r2
 
 
+class LossFunctionWrapper(LossFunction):
+    """Mutable wrapper whose inner loss can be swapped between solves
+    (reference: loss_function.h LossFunctionWrapper). Swapping the inner
+    loss marks the owning Problem dirty via recompile on next solve; within
+    one compiled solve the loss is fixed (XLA static graph)."""
+
+    def __init__(self, loss: LossFunction | None):
+        self._loss = loss
+
+    def reset(self, loss: LossFunction | None):
+        self._loss = loss
+
+    def rho(self, s):
+        if self._loss is None:
+            one = jnp.ones_like(s)
+            return s, one, jnp.zeros_like(s)
+        return self._loss.rho(s)
+
+    # value-equality keyed on the wrapped loss so signature grouping
+    # distinguishes wrapper states
+    def __hash__(self):
+        return hash(("LossFunctionWrapper", self._loss))
+
+    def __eq__(self, other):
+        return (
+            isinstance(other, LossFunctionWrapper) and self._loss == other._loss
+        )
+
+
 @dataclasses.dataclass(frozen=True)
 class ComposedLoss(LossFunction):
     """f(g(s)); reference: loss_function.cc:136-163."""

@@ -174,9 +174,13 @@ class ShardedEvaluator(Evaluator):
         res_specs = res_groups_pspecs(program, axis)
 
         def _eval_impl(arrays, state, with_jacobian):
-            return evaluate(
+            cost, res_groups, jac, grad = evaluate(
                 program, arrays, state, with_jacobian=with_jacobian, axis_name=axis
             )
+            if not with_jacobian:
+                return cost, res_groups, None, grad
+            # return raw children: shard_map out_specs match plain pytrees
+            return cost, res_groups, (jac.jac_groups, jac.t_idx, jac.c_idx), grad
 
         self._evaluate_sharded = jax.jit(
             jax.shard_map(
@@ -216,7 +220,10 @@ class ShardedEvaluator(Evaluator):
         )
         from ..jacobian import BlockJacobian
 
-        jac = BlockJacobian(self.program, jac_g, t_idx, c_idx, axis_name=self.axis)
+        # axis_name=None: outside shard_map the children are global sharded
+        # arrays and reductions are ordinary (GSPMD-parallelized) ops;
+        # wrap_step_fn rebuilds the axis-local view inside its shard_map.
+        jac = BlockJacobian(self.program, jac_g, t_idx, c_idx, axis_name=None)
         return cost, res_groups, jac, grad
 
     def plus(self, state, delta):

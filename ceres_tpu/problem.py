@@ -233,6 +233,11 @@ class Problem:
         self._dirty = True
         return handles
 
+    def mark_structure_dirty(self):
+        """Force recompilation on the next solve — needed after mutating a
+        LossFunctionWrapper or other out-of-band structural change."""
+        self._dirty = True
+
     def remove_residual_block(self, handle: int):
         """reference: Problem::RemoveResidualBlock."""
         bi, row = self._handle_index.pop(handle)

@@ -96,23 +96,6 @@ def make_lm_step_fn(program, options, evaluator):
             step, lin_iters = schur_solve(
                 program, options, jac_s, res_groups, grad_s, dsq
             )
-        elif solver_type == LinearSolverType.SPARSE_NORMAL_CHOLESKY:
-            # TPU-side sparse Cholesky is not profitable; run CGNR with a
-            # strong block-Jacobi preconditioner as the capability fallback
-            # until the host sparse path lands (see linalg/sparse_cholesky).
-            prec = make_preconditioner(PreconditionerType.JACOBI, program, jac_s, dsq=dsq)
-            result = conjugate_gradients(
-                matvec=lambda v: jac_s.jtj_multiply(v, dsq),
-                b=-grad_s,
-                preconditioner=prec,
-                max_iterations=min(
-                    max_lin_iters * 4, 4 * program.num_effective_parameters
-                ),
-                min_iterations=min_lin_iters,
-                tolerance=1e-12,
-            )
-            step = result.x
-            lin_iters = result.iterations
         else:
             raise NotImplementedError(f"linear solver {solver_type}")
 
@@ -120,6 +103,28 @@ def make_lm_step_fn(program, options, evaluator):
         delta = scale * step
         valid = jnp.logical_and(jnp.all(jnp.isfinite(delta)), mcc > 0)
         return delta, mcc, lin_iters, valid
+
+    if solver_type == LinearSolverType.SPARSE_NORMAL_CHOLESKY:
+        # Host sparse direct path (scipy SuperLU + refinement) — same
+        # CPU-library role as the reference's SuiteSparse backend. The
+        # device computes scaling/column norms; the factorization runs on
+        # host, so this step function must not be jitted.
+        from ..linalg.sparse import solve_sparse_normal_cholesky
+
+        def sparse_step_fn(jac, res_groups, grad, radius, scale):
+            jac_s = jac.scale_columns(scale)
+            grad_s = grad * scale
+            colnorm2 = jac_s.squared_column_norms()
+            dsq = jnp.clip(colnorm2, min_diag, max_diag) / radius
+            step_np = solve_sparse_normal_cholesky(jac_s, res_groups, grad_s, dsq)
+            step = jnp.asarray(step_np, dtype=grad.dtype)
+            mcc = _model_cost_change(jac_s, step, res_groups)
+            delta = scale * step
+            valid = jnp.logical_and(jnp.all(jnp.isfinite(delta)), mcc > 0)
+            return delta, mcc, jnp.asarray(1, jnp.int32), valid
+
+        sparse_step_fn.jittable = False
+        return sparse_step_fn
 
     return step_fn
 

@@ -41,7 +41,10 @@ class TrustRegionMinimizer:
             from .dogleg import make_dogleg_step_fn
 
             raw_step_fn = make_dogleg_step_fn(program, options, evaluator)
-        if hasattr(evaluator, "wrap_step_fn"):
+        if not getattr(raw_step_fn, "jittable", True):
+            # host-path solvers (e.g. scipy sparse Cholesky) run un-jitted
+            self.step_fn = raw_step_fn
+        elif hasattr(evaluator, "wrap_step_fn"):
             self.step_fn = evaluator.wrap_step_fn(raw_step_fn)
         else:
             import jax
@@ -218,6 +221,10 @@ class TrustRegionMinimizer:
                 state = candidate
                 cost = new_cost
                 summary.num_successful_steps += 1
+                if options.update_state_every_iteration:
+                    # make the current iterate visible to callbacks
+                    # (reference: StateUpdatingCallback, callbacks.cc)
+                    self.program.write_state_back(np.asarray(state))
 
                 t_jac = time.time()
                 cost_j, res_groups, jac, grad = ev.evaluate_groups(state)

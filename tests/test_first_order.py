@@ -1,0 +1,218 @@
+"""Line-search minimizer, GradientProblem, TinySolver, gradient checker,
+numeric diff, and covariance tests.
+
+reference analogs: line_search_minimizer_test.cc, gradient_problem_solver_
+test.cc, tiny_solver_test.cc, gradient_checker_test.cc,
+numeric_diff_cost_function_test.cc, covariance_test.cc.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import ceres_tpu
+from ceres_tpu import (
+    CostFunction,
+    GradientProblem,
+    LineSearchDirectionType,
+    MinimizerType,
+    NumericDiffCostFunction,
+    Problem,
+    SolverOptions,
+    TerminationType,
+    check_gradients,
+    solve_gradient_problem,
+    tiny_solve,
+    tiny_solve_batched,
+)
+
+
+def rosenbrock_f(x):
+    return 100.0 * (x[1] - x[0] ** 2) ** 2 + (1.0 - x[0]) ** 2
+
+
+DIRECTIONS = [
+    LineSearchDirectionType.LBFGS,
+    LineSearchDirectionType.BFGS,
+    LineSearchDirectionType.NONLINEAR_CONJUGATE_GRADIENT,
+    LineSearchDirectionType.STEEPEST_DESCENT,
+]
+
+
+@pytest.mark.parametrize("direction", DIRECTIONS, ids=lambda d: d.value)
+def test_gradient_problem_rosenbrock(direction):
+    # reference: examples/rosenbrock.cc via GradientProblemSolver
+    gp = GradientProblem(rosenbrock_f, size=2)
+    maxit = 2000 if direction == LineSearchDirectionType.STEEPEST_DESCENT else 300
+    options = SolverOptions(
+        minimizer_type=MinimizerType.LINE_SEARCH,
+        line_search_direction_type=direction,
+        max_num_iterations=maxit,
+        function_tolerance=1e-14,
+        gradient_tolerance=1e-10,
+        parameter_tolerance=1e-14,
+    )
+    x, summary = solve_gradient_problem(options, gp, np.array([-1.2, 1.0]))
+    tol = 1e-2 if direction == LineSearchDirectionType.STEEPEST_DESCENT else 1e-4
+    np.testing.assert_allclose(x, [1.0, 1.0], atol=tol)
+
+
+def test_nlls_problem_with_line_search_minimizer():
+    from ceres_tpu.examples.test_functions import build_curve_fitting_problem
+
+    p, mc = build_curve_fitting_problem()
+    options = SolverOptions(
+        minimizer_type=MinimizerType.LINE_SEARCH,
+        line_search_direction_type=LineSearchDirectionType.LBFGS,
+        max_num_iterations=200,
+    )
+    summary = ceres_tpu.solve(options, p)
+    assert summary.final_cost < summary.initial_cost
+    np.testing.assert_allclose(
+        p.parameter_block_value(mc), [0.3, 0.1], atol=0.06
+    )
+
+
+def test_tiny_solver():
+    def residual(x):
+        return jnp.stack([x[0] + 2 * x[1], x[1] - x[0] ** 2, x[0] - 1.0])
+
+    from ceres_tpu import TinySolverOptions
+
+    result = tiny_solve(
+        residual,
+        jnp.asarray([3.0, -2.0]),
+        TinySolverOptions(
+            max_num_iterations=100,
+            function_tolerance=1e-14,
+            parameter_tolerance=1e-14,
+            gradient_tolerance=1e-12,
+        ),
+    )
+    assert bool(result.converged)
+    # scipy reference
+    from scipy.optimize import least_squares
+
+    ref = least_squares(
+        lambda x: np.array([x[0] + 2 * x[1], x[1] - x[0] ** 2, x[0] - 1.0]),
+        [3.0, -2.0],
+        method="lm",
+        xtol=1e-14,
+        ftol=1e-14,
+    )
+    np.testing.assert_allclose(np.asarray(result.x), ref.x, atol=1e-6)
+
+
+def test_tiny_solver_batched():
+    def residual(x):
+        return jnp.stack([x[0] - 2.0, 5.0 * (x[1] + 1.0)])
+
+    x0 = jnp.asarray(np.random.default_rng(0).normal(0, 1, (32, 2)))
+    result = tiny_solve_batched(residual, x0)
+    assert np.all(np.asarray(result.converged))
+    np.testing.assert_allclose(
+        np.asarray(result.x), np.tile([2.0, -1.0], (32, 1)), atol=1e-6
+    )
+
+
+def test_gradient_checker_passes_good_functor():
+    def f(params, data):
+        (x,) = params
+        return jnp.stack([x[0] * x[1], jnp.sin(x[2])])
+
+    res = check_gradients(CostFunction(f, 2), [np.array([1.0, 2.0, 0.5])])
+    assert res.ok, res.error_log
+
+
+def test_gradient_checker_catches_wrong_custom_jvp():
+    import jax
+
+    @jax.custom_jvp
+    def bad_op(x):
+        return x * x
+
+    @bad_op.defjvp
+    def bad_jvp(primals, tangents):
+        (x,), (dx,) = primals, tangents
+        return x * x, 3.0 * x * dx  # wrong: should be 2x
+
+    def f(params, data):
+        (x,) = params
+        return jnp.stack([bad_op(x[0])])
+
+    res = check_gradients(CostFunction(f, 1), [np.array([1.5])])
+    assert not res.ok
+    assert res.max_relative_error > 0.1
+
+
+def test_numeric_diff_cost_function():
+    def f(params, data):
+        (x,) = params
+        return jnp.stack([x[0] ** 2 + x[1], x[1] ** 3])
+
+    p = Problem()
+    b = p.add_parameter_block([1.0, 2.0])
+    p.add_residual_block(NumericDiffCostFunction(f, 2, method="CENTRAL"), None, [b])
+    program = p.compile()
+    ev = program.evaluator()
+    _, _, jac, _ = ev.evaluate(program.state_vector())
+    dense = np.asarray(jac.to_dense())
+    np.testing.assert_allclose(dense, [[2.0, 1.0], [0.0, 12.0]], rtol=1e-5)
+
+
+def test_numeric_diff_solve_matches_autodiff():
+    from ceres_tpu.examples.test_functions import (
+        exponential_residual,
+        make_curve_fitting_data,
+    )
+
+    data = make_curve_fitting_data()
+    for cf in [
+        CostFunction(exponential_residual, 1),
+        NumericDiffCostFunction(exponential_residual, 1, method="CENTRAL"),
+    ]:
+        p = Problem()
+        mc = p.add_parameter_block([0.0, 0.0])
+        ids = np.full((data.shape[0], 1), mc)
+        p.add_residual_blocks(cf, None, ids, (data,))
+        s = ceres_tpu.solve(SolverOptions(max_num_iterations=50), p)
+        np.testing.assert_allclose(
+            p.parameter_block_value(mc), [0.29439144, 0.11259073], atol=1e-4
+        )
+
+
+def test_covariance_simple():
+    # y = a*x + b regression: covariance should match (X'X)^{-1} (sigma=1)
+    rng = np.random.default_rng(0)
+    xs = rng.uniform(0, 1, 30)
+    ys = 2.0 * xs + 1.0 + rng.normal(0, 0.1, 30)
+
+    def f(params, data):
+        (ab,) = params
+        (xy,) = data
+        return jnp.stack([xy[1] - (ab[0] * xy[0] + ab[1])])
+
+    p = Problem()
+    ab = p.add_parameter_block([0.0, 0.0])
+    ids = np.full((30, 1), ab)
+    p.add_residual_blocks(CostFunction(f, 1), None, ids, (np.stack([xs, ys], 1),))
+    ceres_tpu.solve(SolverOptions(max_num_iterations=50), p)
+
+    cov = ceres_tpu.Covariance()
+    assert cov.compute([(ab, ab)], p)
+    block = cov.get_covariance_block(ab, ab)
+    x_mat = np.stack([xs, np.ones(30)], axis=1)
+    expected = np.linalg.inv(x_mat.T @ x_mat)
+    np.testing.assert_allclose(block, expected, rtol=1e-6)
+
+
+def test_covariance_rank_deficient_detected():
+    def f(params, data):
+        (x,) = params
+        return jnp.stack([x[0]])  # x[1] unobserved -> singular JtJ
+
+    p = Problem()
+    b = p.add_parameter_block([1.0, 1.0])
+    p.add_residual_block(CostFunction(f, 1), None, [b])
+    cov = ceres_tpu.Covariance()
+    assert not cov.compute([(b, b)], p)
