@@ -60,17 +60,37 @@ def main():
     )
     problem, _, _ = build_ba_problem(bal)
     program = problem.compile()
-    ev = Evaluator(program, dtype=jnp.float32)
+    from ceres_tpu.evaluator import evaluate
+
+    arrays = program.arrays(jnp.float32)
     state = program.state_vector(jnp.float32)
 
+    @jax.jit
+    def ev_full(arrays, state):
+        c, r, j, g = evaluate(program, arrays, state, with_jacobian=True)
+        return c, g, j.jac_groups, r
+
+    @jax.jit
+    def checksum(c, g, jg, r):
+        # touches every output buffer; the host fetch below is the honest
+        # sync point (block_until_ready alone under-reports on this
+        # platform's async relay dispatch)
+        s = c + jnp.sum(g)
+        for grp in jg:
+            for t in grp:
+                s = s + jnp.sum(t)
+        for rr in r:
+            s = s + jnp.sum(rr)
+        return s
+
     # warmup / compile
-    cost, res_groups, jac, grad = ev.evaluate_groups(state)
-    jax.block_until_ready((cost, grad))
+    out = ev_full(arrays, state)
+    float(checksum(*out))
 
     t0 = time.perf_counter()
     for _ in range(NUM_EVALS):
-        cost, res_groups, jac, grad = ev.evaluate_groups(state)
-    jax.block_until_ready((cost, res_groups, jac.jac_groups, grad))
+        out = ev_full(arrays, state)
+        float(checksum(*out))
     elapsed = time.perf_counter() - t0
     ms_per_eval = elapsed / NUM_EVALS * 1000.0
 

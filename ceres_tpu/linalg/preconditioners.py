@@ -32,33 +32,41 @@ class BlockDiagSolver:
 
     def __init__(self, program, blocks_per_class, only_classes=None):
         self.program = program
-        self.factors = []
-        self.idx = []
-        self.classes = []
+        self.factors = {}
         for cls, b in enumerate(blocks_per_class):
             if only_classes is not None and cls not in only_classes:
                 continue
-            s = program.class_tsizes[cls]
+            s = program.tangent_class_sizes[cls]
             # Tiny ridge: keeps all-zero blocks (e.g. f-blocks sharing an
             # e-class) finite; 0 -> 0 under the solve.
             eps = 1e-14 * jnp.maximum(
                 1.0, jnp.max(jnp.abs(b), axis=(1, 2), keepdims=True)
             ) + 1e-300
             b = b + eps * jnp.eye(s, dtype=b.dtype)
-            self.factors.append(jnp.linalg.cholesky(b))
-            toff = jnp.asarray(program.class_t_offsets[cls])
-            self.idx.append(toff[:, None] + jnp.arange(s)[None, :])
-            self.classes.append(cls)
+            self.factors[cls] = jnp.linalg.cholesky(b)
+
+    @property
+    def classes(self):
+        return sorted(self.factors.keys())
 
     def __call__(self, r):
-        out = r
-        for chol, idx in zip(self.factors, self.idx):
-            seg = r[idx]  # [count, s]
-            sol = jax.vmap(lambda c, v: jax.scipy.linalg.cho_solve((c, True), v))(
-                chol, seg
-            )
-            out = out.at[idx].set(sol)
-        return out
+        """Apply M^{-1}: per-class reshape -> batched cho_solve -> reassemble
+        (the class-contiguous layout makes this scatter-free)."""
+        from ..evaluator import tangent_tables
+
+        tables = tangent_tables(self.program, r)
+        out = []
+        for cls, seg in enumerate(tables):
+            chol = self.factors.get(cls)
+            if chol is None:
+                out.append(seg)
+            else:
+                out.append(
+                    jax.vmap(
+                        lambda c, v: jax.scipy.linalg.cho_solve((c, True), v)
+                    )(chol, seg)
+                )
+        return jnp.concatenate([t.reshape(-1) for t in out])
 
 
 class BlockJacobiPreconditioner:

@@ -68,62 +68,43 @@ def schur_jacobi_blocks(program, jac_e, jac_f, ete_solver, dsq_f):
     reference: schur_jacobi_preconditioner.cc via schur_eliminator's
     chunk-diagonal assembly.
     """
+    program = jac_f.program
     ftf = jac_f.block_diag_jtj(dsq=dsq_f)  # list per class [count, s, s]
     # correction per group: F^T E M^{-1} E^T F for each residual block, then
-    # scatter-add into the f-block diagonal.
-    corrections = [jnp.zeros_like(b) for b in ftf]
+    # segment-sum into the f-block diagonal.
+    corrections = [jnp.zeros((b.shape[0] + 1, *b.shape[1:]), b.dtype) for b in ftf]
     for gi in range(len(jac_f.jac_groups)):
-        f_jacs = jac_f.jac_groups[gi]
-        f_cidx = jac_f.c_idx[gi]
-        f_pos = jac_f.positions[gi]
-        e_jacs = jac_e.jac_groups[gi]
-        e_tidx = jac_e.t_idx[gi]
-        if not e_jacs:
+        e_jacs = jac_f.program.groups[gi]
+        if not jac_e.jac_groups[gi]:
             continue
-        meta = jac_f.program.groups[gi]
-        e_jac = e_jacs[0]  # [n, r, te]; at most one e-position per group
-        e_ti = e_tidx[0]
-        # gather M^{-1} factors per row: solve M z = E^T F  batched.
-        # E^T F: [n, te, tf] per f-position.
-        for fj, (f_jac, ci, pos) in enumerate(zip(f_jacs, f_cidx, f_pos)):
-            tf = meta.positions[pos].tangent_size
-            cls = jac_f.program.class_of_tsize.get(tf)
-            if cls is None:
+        e_jac = jac_e.jac_groups[gi][0]  # [n, r, te]; one e-position per group
+        e_tr = jac_e.t_rows[gi][0]  # [n] rows in the e-class
+        e_pm = program.groups[gi].positions[jac_e.positions[gi][0]]
+        for vpos, (f_jac, f_tr) in enumerate(
+            zip(jac_f.jac_groups[gi], jac_f.t_rows[gi])
+        ):
+            pm = program.groups[gi].positions[jac_f.positions[gi][vpos]]
+            if pm.t_cls < 0:
                 continue
             etf = jnp.einsum("nre,nrf->nef", e_jac, f_jac)  # [n, te, tf]
-            # apply M^{-1} row-wise: gather the factorized chol for each
-            # row's e-block via its tangent offsets — reuse ete_solver by
-            # applying to vectors is O(te) applies; instead solve directly
-            # with gathered Cholesky factors.
-            minv_etf = _apply_ete_rows(jac_e.program, ete_solver, e_ti, etf)
+            minv_etf = _apply_ete_rows(ete_solver, e_pm.t_cls, e_tr, etf)
             corr = jnp.einsum("nef,neg->nfg", minv_etf, etf)  # F^T E M^-1 E^T F
-            corrections[cls] = corrections[cls].at[ci].add(corr)
+            cnt = program.tangent_class_counts[pm.t_cls]
+            corrections[pm.t_cls] = corrections[pm.t_cls] + jax.ops.segment_sum(
+                corr, f_tr, num_segments=cnt + 1
+            )
     out = []
     for cls in range(len(ftf)):
         # corrections are shard-local partial sums; ftf was already psummed
         # inside block_diag_jtj.
-        out.append(ftf[cls] - jac_f._psum(corrections[cls]))
+        out.append(ftf[cls] - jac_f._psum(corrections[cls][:-1]))
     return out
 
 
-def _apply_ete_rows(program, ete_solver, e_ti, etf):
-    """Apply M^{-1} (factorized per e-block) to per-row [te, tf] matrices.
-
-    e_ti: [n, te] tangent indices of each row's e-block; rows of one group
-    share an e-class, so the factor gather is a single take.
-    """
-    # Find the class whose offsets match: e_ti[:,0] are block tangent
-    # offsets; build index into the class's factor batch.
-    te = etf.shape[1]
-    cls = program.class_of_tsize[te]
-    # position of each row's e-block within its class
-    # class_t_offsets[cls]: [count] tangent offsets; invert via searchsorted
-    toff = jnp.asarray(program.class_t_offsets[cls])
-    row_off = e_ti[:, 0]
-    pos_in_class = jnp.searchsorted(toff, row_off)
-    # fetch the factor for this class from the solver
-    ci = ete_solver.classes.index(cls)
-    chol = ete_solver.factors[ci][pos_in_class]  # [n, te, te]
+def _apply_ete_rows(ete_solver, e_cls, e_rows, etf):
+    """Apply M^{-1} (factorized per e-block) to per-row [te, tf] matrices:
+    fetch each row's Cholesky factor by its class row index (a row take)."""
+    chol = jnp.take(ete_solver.factors[e_cls], e_rows, axis=0)  # [n, te, te]
     return jax.vmap(lambda c, m: jax.scipy.linalg.cho_solve((c, True), m))(chol, etf)
 
 

@@ -52,25 +52,19 @@ def build_sharded_arrays(program, mesh: Mesh, axis: str, dtype=None):
     for meta, idx in zip(program.groups, program.group_idx):
         n = meta.n
         target = ((n + ndev - 1) // ndev) * ndev
+        t_rows_padded = []
+        for pos, pm in enumerate(meta.positions):
+            tr = np.asarray(idx["t_rows"][pos])
+            dump = (
+                program.tangent_class_counts[pm.t_cls] if pm.t_cls >= 0 else 0
+            )
+            t_rows_padded.append(jnp.asarray(_pad_rows(tr, target, dump)))
         g = {
-            "x_idx": tuple(
-                jnp.asarray(_pad_rows(np.asarray(a), target, 0)) for a in idx["x_idx"]
+            "a_rows": tuple(
+                jnp.asarray(_pad_rows(np.asarray(a), target, 0))
+                for a in idx["a_rows"]
             ),
-            "t_idx": tuple(
-                jnp.asarray(_pad_rows(np.asarray(a), target, num_eff))
-                for a in idx["t_idx"]
-            ),
-            "c_idx": tuple(
-                jnp.asarray(
-                    _pad_rows(
-                        np.asarray(ci),
-                        target,
-                        # dump slot of the class this position scatters into
-                        int(np.max(ci)) if ci.size else 0,
-                    )
-                )
-                for ci in (np.asarray(c) for c in idx["c_idx"])
-            ),
+            "t_rows": tuple(t_rows_padded),
             "data": tuple(
                 jnp.asarray(
                     _pad_rows(np.asarray(d), target, 0),
@@ -86,10 +80,12 @@ def build_sharded_arrays(program, mesh: Mesh, axis: str, dtype=None):
 
     arrays = {
         "groups": groups,
-        "euclid_x_idx": jnp.asarray(program.euclid_x_idx),
-        "euclid_d_idx": jnp.asarray(program.euclid_d_idx),
+        "plus_euclid": [
+            None if rec is None else {"t_row_map": jnp.asarray(rec["t_row_map"])}
+            for rec in program.plus_euclid
+        ],
         "manifold_groups": [
-            {"x_idx": jnp.asarray(g["x_idx"]), "d_idx": jnp.asarray(g["d_idx"])}
+            {"a_rows": jnp.asarray(g["a_rows"]), "t_rows": jnp.asarray(g["t_rows"])}
             for g in program.manifold_group_idx
         ],
     }
@@ -113,19 +109,20 @@ def arrays_pspecs(program, arrays, axis: str):
 
     def group_spec(g):
         return {
-            "x_idx": tuple(P(axis, None) for _ in g["x_idx"]),
-            "t_idx": tuple(P(axis, None) for _ in g["t_idx"]),
-            "c_idx": tuple(P(axis) for _ in g["c_idx"]),
+            "a_rows": tuple(P(axis) for _ in g["a_rows"]),
+            "t_rows": tuple(P(axis) for _ in g["t_rows"]),
             "data": tuple(P(*((axis,) + (None,) * (d.ndim - 1))) for d in g["data"]),
             "mask": P(axis),
         }
 
     specs = {
         "groups": [group_spec(g) for g in arrays["groups"]],
-        "euclid_x_idx": P(None),
-        "euclid_d_idx": P(None),
+        "plus_euclid": [
+            None if rec is None else {"t_row_map": P(None)}
+            for rec in arrays["plus_euclid"]
+        ],
         "manifold_groups": [
-            {"x_idx": P(None, None), "d_idx": P(None, None)}
+            {"a_rows": P(None), "t_rows": P(None)}
             for _ in arrays["manifold_groups"]
         ],
     }
@@ -140,11 +137,10 @@ def jac_pspecs(program, axis: str):
     jac_groups = tuple(
         tuple(P(axis, None, None) for _ in meta.positions) for meta in program.groups
     )
-    t_idx = tuple(
-        tuple(P(axis, None) for _ in meta.positions) for meta in program.groups
+    t_rows = tuple(
+        tuple(P(axis) for _ in meta.positions) for meta in program.groups
     )
-    c_idx = tuple(tuple(P(axis) for _ in meta.positions) for meta in program.groups)
-    return (jac_groups, t_idx, c_idx)
+    return (jac_groups, t_rows)
 
 
 def res_groups_pspecs(program, axis: str):
@@ -180,7 +176,7 @@ class ShardedEvaluator(Evaluator):
             if not with_jacobian:
                 return cost, res_groups, None, grad
             # return raw children: shard_map out_specs match plain pytrees
-            return cost, res_groups, (jac.jac_groups, jac.t_idx, jac.c_idx), grad
+            return cost, res_groups, (jac.jac_groups, jac.t_rows), grad
 
         self._evaluate_sharded = jax.jit(
             jax.shard_map(
@@ -215,7 +211,7 @@ class ShardedEvaluator(Evaluator):
         return self._cost_sharded(self.arrays, state)
 
     def evaluate_groups(self, state, apply_loss: bool = True):
-        cost, res_groups, (jac_g, t_idx, c_idx), grad = self._evaluate_sharded(
+        cost, res_groups, (jac_g, t_rows), grad = self._evaluate_sharded(
             self.arrays, state
         )
         from ..jacobian import BlockJacobian
@@ -223,7 +219,7 @@ class ShardedEvaluator(Evaluator):
         # axis_name=None: outside shard_map the children are global sharded
         # arrays and reductions are ordinary (GSPMD-parallelized) ops;
         # wrap_step_fn rebuilds the axis-local view inside its shard_map.
-        jac = BlockJacobian(self.program, jac_g, t_idx, c_idx, axis_name=None)
+        jac = BlockJacobian(self.program, jac_g, t_rows, axis_name=None)
         return cost, res_groups, jac, grad
 
     def plus(self, state, delta):
@@ -243,10 +239,8 @@ class ShardedEvaluator(Evaluator):
         from ..jacobian import BlockJacobian
 
         def _step_inner(jac_children, res_groups, grad, radius, scale):
-            jac_g, t_idx, c_idx = jac_children
-            jac = BlockJacobian(
-                self.program, jac_g, t_idx, c_idx, axis_name=self.axis
-            )
+            jac_g, t_rows = jac_children
+            jac = BlockJacobian(self.program, jac_g, t_rows, axis_name=self.axis)
             return step_fn_raw(jac, res_groups, grad, radius, scale)
 
         _sharded_step = jax.jit(

@@ -64,13 +64,18 @@ class Problem:
     reference: include/ceres/problem.h:127-574.
     """
 
-    def __init__(self):
+    def __init__(self, evaluation_callback=None):
+        """evaluation_callback(new_point: bool, evaluate_jacobians: bool) is
+        invoked before each evaluation — the hook user code uses to refresh
+        shared quantities (reference: evaluation_callback.h via
+        Problem::Options::evaluation_callback)."""
         self._blocks: list[_ParameterBlock] = []
         self._batches: list[_ResidualBatch] = []
         self._next_residual_handle = 0
         self._handle_index: dict[int, tuple[int, int]] = {}  # handle -> (batch, row)
         self._dirty = True
         self._program = None
+        self.evaluation_callback = evaluation_callback
 
     # ------------------------------------------------------------------ #
     # parameter blocks
@@ -279,7 +284,9 @@ class Problem:
         from .program import Program
 
         if self._dirty or self._program is None:
-            self._program = Program(self._blocks, self._batches)
+            self._program = Program(
+                self._blocks, self._batches, self.evaluation_callback
+            )
             self._dirty = False
         return self._program
 

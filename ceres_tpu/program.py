@@ -41,6 +41,8 @@ class PositionMeta:
     size: int
     tangent_size: int
     manifold: Optional[Manifold]  # None == Euclidean
+    a_cls: int = -1  # ambient class id (gathers)
+    t_cls: int = -1  # tangent class id (scatters); -1 if no free block has it
 
 
 @dataclasses.dataclass
@@ -71,9 +73,10 @@ class ManifoldGroupMeta:
 class Program:
     """Executable lowering of a Problem. See module docstring."""
 
-    def __init__(self, blocks, batches):
+    def __init__(self, blocks, batches, evaluation_callback=None):
         self._blocks = blocks
         self._batches = batches
+        self.evaluation_callback = evaluation_callback
         self._build_layout()
         self._build_plus_structure()
         self._build_classes()
@@ -81,48 +84,52 @@ class Program:
         self._evaluator = None
 
     def _build_classes(self):
-        """Bucket free parameter blocks by tangent size.
-
-        Per-class contiguous tables let block-diagonal JtJ (Jacobi /
-        Schur-Jacobi preconditioners, (EtE)^-1 in implicit Schur) be computed
-        as one batched [count, s, s] scatter-add + Cholesky per class — the
-        TPU shape of the reference's per-block small dense blocks
-        (block_jacobi_preconditioner.cc).
-        """
-        nb = len(self._blocks)
-        self.block_class = np.full(nb, -1, dtype=np.int64)  # class id per block
-        self.block_class_index = np.full(nb, -1, dtype=np.int64)  # index in class
-        tsizes = sorted(
-            {
-                int(b.tangent_size)
-                for b in self._blocks
-                if not b.removed and not b.constant
-            }
-        )
-        self.class_of_tsize = {s: i for i, s in enumerate(tsizes)}
-        counts = [0] * len(tsizes)
-        class_members: list[list[int]] = [[] for _ in tsizes]
-        for b in self._blocks:
-            if b.removed or b.constant:
-                continue
-            c = self.class_of_tsize[int(b.tangent_size)]
-            self.block_class[b.index] = c
-            self.block_class_index[b.index] = counts[c]
-            class_members[c].append(b.index)
-            counts[c] += 1
-        self.class_tsizes = tsizes
-        self.class_counts = counts
-        # t_offset of each block in each class: [count] -> tangent offset
+        """Aliases over the class-contiguous layout tables (see
+        _build_layout). Per-class [count, s] views of the tangent/state
+        vectors are plain reshapes; block-diagonal JtJ (Jacobi /
+        Schur-Jacobi, (EtE)^-1) becomes one batched segment-sum + Cholesky
+        per class (reference: block_jacobi_preconditioner.cc)."""
+        self.class_tsizes = list(self.tangent_class_sizes)
+        self.class_counts = list(self.tangent_class_counts)
+        self.class_of_tsize = dict(self.tangent_class_of_size)
+        self.block_class = self.t_class
+        self.block_class_index = self.t_row
+        # affine per-class tangent offsets (kept for export/debug paths)
         self.class_t_offsets = [
-            np.asarray([self.t_offsets[i] for i in members], dtype=np.int32)
-            for members in class_members
+            (
+                self.tangent_class_bases[c]
+                + np.arange(self.class_counts[c]) * self.class_tsizes[c]
+            ).astype(np.int32)
+            for c in range(len(self.class_tsizes))
         ]
+
+    def tangent_class_slice(self, cls: int):
+        """(base, count, size) of a tangent class within the flat tangent
+        vector: v[base : base + count*size].reshape(count, size)."""
+        return (
+            int(self.tangent_class_bases[cls]),
+            int(self.tangent_class_counts[cls]),
+            int(self.tangent_class_sizes[cls]),
+        )
+
+    def ambient_class_slice(self, cls: int):
+        return (
+            int(self.ambient_class_bases[cls]),
+            int(self.ambient_class_counts[cls]),
+            int(self.ambient_class_sizes[cls]),
+        )
 
     # ------------------------------------------------------------------ #
     # layout
     # ------------------------------------------------------------------ #
 
     def _build_layout(self):
+        """Class-contiguous layout: blocks are grouped by ambient size in the
+        state vector and by tangent size in the tangent vector, so every
+        gather/scatter in the hot path is a ROW operation on a dense
+        [count, size] table (jnp.take / segment_sum) instead of element
+        gathers — the single biggest TPU performance lever (element gathers
+        measured ~7x slower than row takes at BA scale)."""
         blocks = self._blocks
         nb = len(blocks)
         self.x_offsets = np.zeros(nb, dtype=np.int64)
@@ -130,22 +137,68 @@ class Program:
         self.sizes = np.zeros(nb, dtype=np.int64)
         self.tangent_sizes = np.zeros(nb, dtype=np.int64)
 
-        x_off = 0
-        t_off = 0
+        # ambient classes: key = ambient size, over all live blocks
+        self.ambient_class_sizes = sorted(
+            {b.size for b in blocks if not b.removed}
+        )
+        self.ambient_class_of_size = {
+            s: i for i, s in enumerate(self.ambient_class_sizes)
+        }
+        self.a_class = np.full(nb, -1, dtype=np.int64)
+        self.a_row = np.full(nb, -1, dtype=np.int64)
+        a_counts = [0] * len(self.ambient_class_sizes)
         for b in blocks:
-            self.x_offsets[b.index] = x_off
+            if b.removed:
+                continue
+            c = self.ambient_class_of_size[b.size]
+            self.a_class[b.index] = c
+            self.a_row[b.index] = a_counts[c]
+            a_counts[c] += 1
+        self.ambient_class_counts = a_counts
+        self.ambient_class_bases = np.concatenate(
+            [[0], np.cumsum([c * s for c, s in zip(a_counts, self.ambient_class_sizes)])]
+        ).astype(np.int64)
+        for b in blocks:
+            if b.removed:
+                continue
+            c = int(self.a_class[b.index])
+            self.x_offsets[b.index] = (
+                self.ambient_class_bases[c] + self.a_row[b.index] * b.size
+            )
             self.sizes[b.index] = b.size
             self.tangent_sizes[b.index] = b.tangent_size
-            if not b.removed:
-                x_off += b.size
+        self.num_parameters = int(self.ambient_class_bases[-1])
+
+        # tangent classes: key = tangent size, over free blocks
+        self.tangent_class_sizes = sorted(
+            {b.tangent_size for b in blocks if not b.removed and not b.constant}
+        )
+        self.tangent_class_of_size = {
+            s: i for i, s in enumerate(self.tangent_class_sizes)
+        }
+        self.t_class = np.full(nb, -1, dtype=np.int64)
+        self.t_row = np.full(nb, -1, dtype=np.int64)
+        t_counts = [0] * len(self.tangent_class_sizes)
+        for b in blocks:
+            if b.removed or b.constant:
+                continue
+            c = self.tangent_class_of_size[b.tangent_size]
+            self.t_class[b.index] = c
+            self.t_row[b.index] = t_counts[c]
+            t_counts[c] += 1
+        self.tangent_class_counts = t_counts
+        self.tangent_class_bases = np.concatenate(
+            [[0], np.cumsum([c * s for c, s in zip(t_counts, self.tangent_class_sizes)])]
+        ).astype(np.int64)
+        for b in blocks:
             if b.removed or b.constant:
                 self.t_offsets[b.index] = -1
             else:
-                self.t_offsets[b.index] = t_off
-                t_off += b.tangent_size
-
-        self.num_parameters = int(x_off)
-        self.num_effective_parameters = int(t_off)
+                c = int(self.t_class[b.index])
+                self.t_offsets[b.index] = (
+                    self.tangent_class_bases[c] + self.t_row[b.index] * b.tangent_size
+                )
+        self.num_effective_parameters = int(self.tangent_class_bases[-1])
 
         self.state0 = np.zeros(self.num_parameters, dtype=np.float64)
         for b in blocks:
@@ -180,40 +233,60 @@ class Program:
     # ------------------------------------------------------------------ #
 
     def _build_plus_structure(self):
-        euclid_x, euclid_d = [], []
+        """Row-based Plus: per ambient class, Euclidean free blocks add
+        their delta rows (row gather from the tangent class table, constants
+        map to a zero dump row); manifold blocks are batched per manifold
+        and their rows overwritten (reference: Program::Plus, program.cc)."""
+        # per ambient class: tangent-class row of each ambient row (Euclidean
+        # free blocks only; constants/manifold rows -> dump)
+        self.plus_euclid = []  # list over ambient classes: dict | None
+        per_class_map = [
+            np.full(cnt, -1, dtype=np.int64)
+            for cnt in self.ambient_class_counts
+        ]
+        class_has_euclid = [False] * len(self.ambient_class_counts)
         mgroups: dict = {}
         for b in self._blocks:
             if b.removed or b.constant:
                 continue
-            xo, to = int(self.x_offsets[b.index]), int(self.t_offsets[b.index])
             m = b.manifold
+            a_c, a_r = int(self.a_class[b.index]), int(self.a_row[b.index])
             if m is None or isinstance(m, EuclideanManifold):
-                euclid_x.append(np.arange(xo, xo + b.size))
-                euclid_d.append(np.arange(to, to + b.size))
+                per_class_map[a_c][a_r] = self.t_row[b.index]
+                class_has_euclid[a_c] = True
             else:
-                key = m
-                rec = mgroups.setdefault(key, {"x": [], "d": []})
-                rec["x"].append(np.arange(xo, xo + m.ambient_size))
-                rec["d"].append(np.arange(to, to + m.tangent_size))
+                rec = mgroups.setdefault(m, {"a_rows": [], "t_rows": []})
+                rec["a_rows"].append(a_r)
+                rec["t_rows"].append(int(self.t_row[b.index]))
+                rec.setdefault("a_cls", a_c)
+                rec.setdefault("t_cls", int(self.t_class[b.index]))
 
-        self.euclid_x_idx = (
-            np.concatenate(euclid_x).astype(np.int32)
-            if euclid_x
-            else np.zeros(0, dtype=np.int32)
-        )
-        self.euclid_d_idx = (
-            np.concatenate(euclid_d).astype(np.int32)
-            if euclid_d
-            else np.zeros(0, dtype=np.int32)
-        )
+        for a_c, cnt in enumerate(self.ambient_class_counts):
+            if not class_has_euclid[a_c]:
+                self.plus_euclid.append(None)
+                continue
+            size = self.ambient_class_sizes[a_c]
+            t_cls = self.tangent_class_of_size[size]
+            dump = self.tangent_class_counts[t_cls]
+            rows = np.where(per_class_map[a_c] >= 0, per_class_map[a_c], dump)
+            self.plus_euclid.append(
+                {"t_cls": t_cls, "t_row_map": rows.astype(np.int32)}
+            )
 
         self.manifold_group_meta: list[ManifoldGroupMeta] = []
         self.manifold_group_idx: list[dict] = []
         for m, rec in mgroups.items():
-            x_idx = np.stack(rec["x"]).astype(np.int32)
-            d_idx = np.stack(rec["d"]).astype(np.int32)
-            self.manifold_group_meta.append(ManifoldGroupMeta(m, x_idx.shape[0]))
-            self.manifold_group_idx.append({"x_idx": x_idx, "d_idx": d_idx})
+            self.manifold_group_meta.append(
+                ManifoldGroupMeta(m, len(rec["a_rows"]))
+            )
+            self.manifold_group_idx.append(
+                {
+                    "a_cls": rec["a_cls"],
+                    "t_cls": rec["t_cls"],
+                    "a_rows": np.asarray(rec["a_rows"], dtype=np.int32),
+                    "t_rows": np.asarray(rec["t_rows"], dtype=np.int32),
+                }
+            )
 
     # ------------------------------------------------------------------ #
     # signature groups
@@ -280,7 +353,7 @@ class Program:
             n = pid.shape[0]
 
             positions = []
-            x_idx, t_idx, c_idx, block_ids = [], [], [], []
+            a_rows, t_rows, block_ids = [], [], []
             for pos in range(k):
                 ids = pid[:, pos]
                 size = int(self.sizes[ids[0]])
@@ -294,24 +367,16 @@ class Program:
                     else b0.manifold
                 )
                 tsize = manifold.tangent_size if manifold is not None else size
-                positions.append(PositionMeta(size, tsize, manifold))
-                xo = self.x_offsets[ids]
-                x_idx.append(
-                    (xo[:, None] + np.arange(size)[None, :]).astype(np.int32)
+                a_cls = self.ambient_class_of_size[size]
+                t_cls = self.tangent_class_of_size.get(tsize, -1)
+                positions.append(
+                    PositionMeta(size, tsize, manifold, a_cls, t_cls)
                 )
-                to = self.t_offsets[ids]
-                # constant blocks scatter into the trailing dump slot
-                ti = np.where(
-                    to[:, None] >= 0,
-                    to[:, None] + np.arange(tsize)[None, :],
-                    self.num_effective_parameters,
-                )
-                t_idx.append(ti.astype(np.int32))
-                # index within tangent-size class (dump slot = class count)
-                cls = self.class_of_tsize.get(tsize)
-                ci = self.block_class_index[ids]
-                dump = self.class_counts[cls] if cls is not None else 0
-                c_idx.append(np.where(ci >= 0, ci, dump).astype(np.int32))
+                a_rows.append(self.a_row[ids].astype(np.int32))
+                # constant blocks scatter into the per-class dump row (=count)
+                tr = self.t_row[ids]
+                dump = self.tangent_class_counts[t_cls] if t_cls >= 0 else 0
+                t_rows.append(np.where(tr >= 0, tr, dump).astype(np.int32))
                 block_ids.append(ids.astype(np.int32))
 
             meta = SigGroupMeta(
@@ -324,9 +389,8 @@ class Program:
             self.groups.append(meta)
             self.group_idx.append(
                 {
-                    "x_idx": tuple(x_idx),
-                    "t_idx": tuple(t_idx),
-                    "c_idx": tuple(c_idx),
+                    "a_rows": tuple(a_rows),
+                    "t_rows": tuple(t_rows),
                     "block_ids": tuple(block_ids),
                     "data": data,
                 }
@@ -471,9 +535,8 @@ class Program:
         for idx in self.group_idx:
             groups.append(
                 {
-                    "x_idx": tuple(jnp.asarray(a) for a in idx["x_idx"]),
-                    "t_idx": tuple(jnp.asarray(a) for a in idx["t_idx"]),
-                    "c_idx": tuple(jnp.asarray(a) for a in idx["c_idx"]),
+                    "a_rows": tuple(jnp.asarray(a) for a in idx["a_rows"]),
+                    "t_rows": tuple(jnp.asarray(a) for a in idx["t_rows"]),
                     "data": tuple(
                         jnp.asarray(d, dtype=dtype)
                         if np.issubdtype(np.asarray(d).dtype, np.floating)
@@ -484,12 +547,14 @@ class Program:
             )
         arrays = {
             "groups": groups,
-            "euclid_x_idx": jnp.asarray(self.euclid_x_idx),
-            "euclid_d_idx": jnp.asarray(self.euclid_d_idx),
+            "plus_euclid": [
+                None if rec is None else {"t_row_map": jnp.asarray(rec["t_row_map"])}
+                for rec in self.plus_euclid
+            ],
             "manifold_groups": [
                 {
-                    "x_idx": jnp.asarray(g["x_idx"]),
-                    "d_idx": jnp.asarray(g["d_idx"]),
+                    "a_rows": jnp.asarray(g["a_rows"]),
+                    "t_rows": jnp.asarray(g["t_rows"]),
                 }
                 for g in self.manifold_group_idx
             ],

@@ -41,6 +41,13 @@ class TrustRegionMinimizer:
             from .dogleg import make_dogleg_step_fn
 
             raw_step_fn = make_dogleg_step_fn(program, options, evaluator)
+        self.inner = None
+        if options.use_inner_iterations:
+            from .inner_iterations import InnerIterationRefiner
+
+            refiner = InnerIterationRefiner(program, options, evaluator)
+            if refiner.available:
+                self.inner = refiner
         if not getattr(raw_step_fn, "jittable", True):
             # host-path solvers (e.g. scipy sparse Cholesky) run un-jitted
             self.step_fn = raw_step_fn
@@ -166,6 +173,13 @@ class TrustRegionMinimizer:
             new_cost = float(ev.cost(candidate))
             summary.num_residual_evaluations += 1
             summary.residual_evaluation_time_in_seconds += time.time() - t_res
+
+            # inner iterations refine the candidate point
+            # (reference: DoInnerIterationsIfNeeded,
+            # trust_region_minimizer.cc:504-583)
+            if self.inner is not None and _finite(new_cost):
+                candidate, new_cost = self.inner.refine(candidate, new_cost)
+                summary.num_inner_iteration_steps += 1
 
             step_norm = float(jnp.linalg.norm(delta))
             x_norm = float(jnp.linalg.norm(state))
