@@ -138,7 +138,9 @@ def _group_eval(meta, garr, state_2d, with_jacobian: bool, apply_loss: bool):
     else:
         cost = 0.5 * jnp.sum(res * res)
 
-    return cost, res, tuple(jacs)
+    # flatten outputs: [n, r] / [n, r, t] tensors are TPU-tile-padded up to
+    # 42x when materialized; 1-D flats are unpadded (see jacobian.py)
+    return cost, res.reshape(-1), tuple(j.reshape(-1) for j in jacs)
 
 
 def evaluate(
@@ -157,17 +159,6 @@ def evaluate(
     """
     total_cost = jnp.zeros((), dtype=state.dtype)
     state_2d = state_tables(program, state)
-    # per-tangent-class gradient accumulators with a trailing dump row
-    grad_c = (
-        [
-            jnp.zeros((cnt + 1, s), dtype=state.dtype)
-            for cnt, s in zip(
-                program.tangent_class_counts, program.tangent_class_sizes
-            )
-        ]
-        if with_jacobian
-        else None
-    )
     res_groups = []
     jac_groups = []
 
@@ -179,32 +170,28 @@ def evaluate(
         res_groups.append(res)
         if with_jacobian:
             jac_groups.append(jacs)
-            for pos, pm in enumerate(meta.positions):
-                if pm.t_cls < 0:
-                    continue  # every block at this position is constant
-                contrib = jnp.einsum("nrp,nr->np", jacs[pos], res)
-                cnt = program.tangent_class_counts[pm.t_cls]
-                grad_c[pm.t_cls] = grad_c[pm.t_cls] + jax.ops.segment_sum(
-                    contrib, garr["t_rows"][pos], num_segments=cnt + 1
-                )
 
     if axis_name is not None:
         total_cost = jax.lax.psum(total_cost, axis_name)
-        if grad_c is not None:
-            grad_c = [jax.lax.psum(g, axis_name) for g in grad_c]
 
     jac = None
     grad = None
     if with_jacobian:
-        grad = flatten_tangent(program, [g[:-1] for g in grad_c])
         jac = BlockJacobian.build(program, arrays, jac_groups, axis_name=axis_name)
+        # gradient = J^T r via the chunked streamed product (psummed inside)
+        grad = jac.left_multiply(res_groups)
     return total_cost, res_groups, jac, grad
 
 
 def flatten_residuals(program, res_groups):
-    """Concatenate per-group residual batches into the flat residual vector
-    (internal residual ordering: groups in order, blocks within group)."""
-    return jnp.concatenate([r.reshape(-1) for r in res_groups]) if res_groups else jnp.zeros(0)
+    """Concatenate per-group flat residuals into the global residual vector,
+    trimming any chunk-padding rows (internal residual ordering: groups in
+    order, blocks within group)."""
+    if not res_groups:
+        return jnp.zeros(0)
+    return jnp.concatenate(
+        [r[: meta.rows] for meta, r in zip(program.groups, res_groups)]
+    )
 
 
 # ---------------------------------------------------------------------- #

@@ -1,21 +1,26 @@
-"""BlockJacobian: the matrix-free Jacobian operator.
+"""BlockJacobian: the matrix-free Jacobian operator (flat storage, chunked).
 
 TPU-native replacement for the reference's materialized sparse Jacobians
 (BlockSparseMatrix, block_sparse_matrix.cc; CompressedRowSparseMatrix) and
-their CUDA views (cuda_block_sparse_crs_view.cc): the Jacobian is kept as
-per-signature-group dense tensors [n_blocks, r, tangent_size] plus row
-tables into the class-contiguous tangent layout, and every consumer product
+their CUDA views. Two hardware facts drive the design (measured on v5e at
+5M observations):
 
-    J v, J^T u, J^T J v, squared column norms, per-block J_i^T J_i
+1. element gathers/scatters are ~7x slower than row takes / segment-sums;
+2. ANY materialized [n, small] tensor is tile-padded (minor dim -> 128,
+   second-minor -> 8): f32[5M,2,3] costs 42.7x its logical size and OOMs.
 
-is an einsum + row take / segment-sum — never element gathers or scatters,
-never materializing global sparsity (the design translation table in
-SURVEY.md §7; the row-op layout is the measured 7x TPU win over element
-indexing). `to_dense`/`to_crs` exist for small problems and parity export.
+So the Jacobian block tensors live as FLAT 1-D arrays [n*r*t] (T(1024)
+tiling, zero padding), and every product
 
-Registered as a JAX pytree so it flows through jit / lax loops / shard_map.
-Under sharding (axis_name set) the group tensors are shard-local slices and
-all tangent-space reductions psum over the mesh axis.
+    J v, J^T u, J^T J v, column norms, per-block Gram blocks
+
+runs as a fori_loop over row chunks: slice flat -> reshape [chunk, r, t]
+(small, transient) -> einsum + row-take / segment-sum -> accumulate. Group
+row counts are padded to a chunk multiple at array-build time (masked rows),
+so the loops are exact.
+
+Registered as a JAX pytree; under sharding the flats are shard-local slices
+and all tangent-space reductions psum over the mesh axis.
 """
 
 from __future__ import annotations
@@ -26,17 +31,45 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+CHUNK = 262_144  # rows per chunk in streamed products
+
+
+def _nchunks(n: int, chunk: int = None) -> int:
+    chunk = chunk or CHUNK
+    return max(1, -(-n // chunk))
+
+
+def segment_outer_flat(jac_flat, tr, n, r, t, num_segments, chunk: int = None):
+    """segment_sum of per-row Gram blocks J_i^T J_i from a flat [n*r*t]
+    jacobian; returns [num_segments, t*t]. Chunked + flattened to avoid
+    TPU tile padding."""
+    chunk = chunk or CHUNK
+    if n <= chunk:
+        jl = jac_flat.reshape(n, r, t)
+        outer = jnp.einsum("nrp,nrq->npq", jl, jl).reshape(n, t * t)
+        return jax.ops.segment_sum(outer, tr, num_segments=num_segments)
+
+    nc = _nchunks(n, chunk)
+
+    def body(i, acc):
+        jl = jax.lax.dynamic_slice(
+            jac_flat, (i * chunk * r * t,), (chunk * r * t,)
+        ).reshape(chunk, r, t)
+        trl = jax.lax.dynamic_slice(tr, (i * chunk,), (chunk,))
+        outer = jnp.einsum("nrp,nrq->npq", jl, jl).reshape(chunk, t * t)
+        return acc + jax.ops.segment_sum(outer, trl, num_segments=num_segments)
+
+    init = jnp.zeros((num_segments, t * t), jac_flat.dtype)
+    return jax.lax.fori_loop(0, nc, body, init)
+
 
 @jax.tree_util.register_pytree_node_class
 class BlockJacobian:
     def __init__(self, program, jac_groups, t_rows, axis_name=None, positions=None):
         self.program = program
-        self.jac_groups = jac_groups  # tuple over groups of tuple over pos [n,r,t]
+        self.jac_groups = jac_groups  # tuple over groups of tuple over pos: flat [n*r*t]
         self.t_rows = t_rows  # tuple over groups of tuple over pos [n]
         self.axis_name = axis_name
-        # original position index of each retained position, per group
-        # (identity unless this is a position view, e.g. the E or F half of a
-        # Schur partition — reference: PartitionedMatrixView).
         if positions is None:
             positions = tuple(tuple(range(len(jacs))) for jacs in jac_groups)
         self.positions = positions
@@ -61,8 +94,7 @@ class BlockJacobian:
 
     def position_view(self, keep_positions):
         """Restrict to a subset of parameter positions per group — the E or F
-        half of the Schur partition (reference: partitioned_matrix_view_impl.h
-        views J as [E F] without copying)."""
+        half of the Schur partition (reference: partitioned_matrix_view_impl.h)."""
         jac_groups, t_rows, positions = [], [], []
         for gi, keep in enumerate(keep_positions):
             keep = tuple(keep)
@@ -98,8 +130,15 @@ class BlockJacobian:
                 return j.dtype
         return jnp.float32
 
+    def _group_n(self, gi) -> int:
+        """Row count of group gi (from the live arrays — padded under
+        sharding/chunking)."""
+        if self.t_rows[gi]:
+            return self.t_rows[gi][0].shape[0]
+        return self.program.groups[gi].n
+
     def _iter(self, gi):
-        """Yields (pos_meta, jac, t_rows) for group gi."""
+        """Yields (pos_meta, jac_flat, t_rows) for group gi."""
         meta = self.program.groups[gi]
         for vpos, (jac, tr) in enumerate(zip(self.jac_groups[gi], self.t_rows[gi])):
             pm = meta.positions[self.positions[gi][vpos]]
@@ -126,44 +165,93 @@ class BlockJacobian:
     # -- products --------------------------------------------------------- #
 
     def right_multiply(self, v):
-        """J v: tangent vector [num_cols] -> per-group residual batches [n, r].
+        """J v: tangent vector [num_cols] -> per-group flat residuals [n*r].
 
         reference: BlockSparseMatrix::RightMultiplyAndAccumulate.
         """
         vt = self._v_tables(v)
         out = []
         for gi in range(len(self.jac_groups)):
-            acc = None
+            meta = self.program.groups[gi]
+            n = self._group_n(gi)
+            r = meta.num_residuals
+            acc = jnp.zeros(n * r, self._dtype())
+            nc = _nchunks(n)
+            chunk = min(n, CHUNK)
+
             for pm, jac, tr in self._iter(gi):
                 if pm.t_cls < 0:
                     continue
-                rows = jnp.take(vt[pm.t_cls], tr, axis=0)  # [n, t]
-                term = jnp.einsum("nrt,nt->nr", jac, rows)
-                acc = term if acc is None else acc + term
-            if acc is None:
-                meta = self.program.groups[gi]
-                n = self.jac_groups[gi][0].shape[0] if self.jac_groups[gi] else meta.n
-                acc = jnp.zeros((n, meta.num_residuals), self._dtype())
+                t = pm.tangent_size
+                table = vt[pm.t_cls]
+
+                if n <= CHUNK:
+                    rows = jnp.take(table, tr, axis=0)
+                    jl = jac.reshape(n, r, t)
+                    acc = acc + jnp.einsum("nrt,nt->nr", jl, rows).reshape(-1)
+                    continue
+
+                def body(i, a, jac=jac, tr=tr, table=table, t=t):
+                    jl = jax.lax.dynamic_slice(
+                        jac, (i * chunk * r * t,), (chunk * r * t,)
+                    ).reshape(chunk, r, t)
+                    trl = jax.lax.dynamic_slice(tr, (i * chunk,), (chunk,))
+                    rows = jnp.take(table, trl, axis=0)
+                    term = jnp.einsum("nrt,nt->nr", jl, rows).reshape(-1)
+                    return jax.lax.dynamic_update_slice(
+                        a,
+                        jax.lax.dynamic_slice(a, (i * chunk * r,), (chunk * r,))
+                        + term,
+                        (i * chunk * r,),
+                    )
+
+                acc = jax.lax.fori_loop(0, nc, body, acc)
             out.append(acc)
         return out
 
     def left_multiply(self, u_groups):
-        """J^T u for per-group residual batches u [n, r] -> [num_cols].
+        """J^T u for per-group flat residuals u [n*r] -> [num_cols].
 
         reference: BlockSparseMatrix::LeftMultiplyAndAccumulate; the
         reference's atomicAdd becomes a deterministic segment-sum.
         """
         acc = self._class_accumulators()
         for gi in range(len(self.jac_groups)):
+            meta = self.program.groups[gi]
+            n = self._group_n(gi)
+            r = meta.num_residuals
             u = u_groups[gi]
+            chunk = min(n, CHUNK)
+            nc = _nchunks(n)
+
             for pm, jac, tr in self._iter(gi):
                 if pm.t_cls < 0:
                     continue
-                contrib = jnp.einsum("nrt,nr->nt", jac, u)
+                t = pm.tangent_size
                 cnt = self.program.tangent_class_counts[pm.t_cls]
-                acc[pm.t_cls] = acc[pm.t_cls] + jax.ops.segment_sum(
-                    contrib, tr, num_segments=cnt + 1
-                )
+
+                if n <= CHUNK:
+                    jl = jac.reshape(n, r, t)
+                    contrib = jnp.einsum("nrt,nr->nt", jl, u.reshape(n, r))
+                    acc[pm.t_cls] = acc[pm.t_cls] + jax.ops.segment_sum(
+                        contrib, tr, num_segments=cnt + 1
+                    )
+                    continue
+
+                def body(i, a, jac=jac, tr=tr, t=t, cnt=cnt):
+                    jl = jax.lax.dynamic_slice(
+                        jac, (i * chunk * r * t,), (chunk * r * t,)
+                    ).reshape(chunk, r, t)
+                    ul = jax.lax.dynamic_slice(
+                        u, (i * chunk * r,), (chunk * r,)
+                    ).reshape(chunk, r)
+                    trl = jax.lax.dynamic_slice(tr, (i * chunk,), (chunk,))
+                    contrib = jnp.einsum("nrt,nr->nt", jl, ul)
+                    return a + jax.ops.segment_sum(
+                        contrib, trl, num_segments=cnt + 1
+                    )
+
+                acc[pm.t_cls] = jax.lax.fori_loop(0, nc, body, acc[pm.t_cls])
         return self._psum(self._flatten_classes(acc))
 
     def jtj_multiply(self, v, dsq=None):
@@ -178,34 +266,78 @@ class BlockJacobian:
         return out
 
     def squared_column_norms(self):
-        """Per-tangent-column sum of squares (LM diagonal / Jacobi scaling).
-
-        reference: BlockSparseMatrix::SquaredColumnNorm.
-        """
+        """Per-tangent-column sum of squares (LM diagonal / Jacobi scaling)."""
         acc = self._class_accumulators()
         for gi in range(len(self.jac_groups)):
+            meta = self.program.groups[gi]
+            n = self._group_n(gi)
+            r = meta.num_residuals
+            chunk = min(n, CHUNK)
+            nc = _nchunks(n)
             for pm, jac, tr in self._iter(gi):
                 if pm.t_cls < 0:
                     continue
+                t = pm.tangent_size
                 cnt = self.program.tangent_class_counts[pm.t_cls]
-                acc[pm.t_cls] = acc[pm.t_cls] + jax.ops.segment_sum(
-                    jnp.sum(jac * jac, axis=1), tr, num_segments=cnt + 1
-                )
+
+                if n <= CHUNK:
+                    jl = jac.reshape(n, r, t)
+                    acc[pm.t_cls] = acc[pm.t_cls] + jax.ops.segment_sum(
+                        jnp.sum(jl * jl, axis=1), tr, num_segments=cnt + 1
+                    )
+                    continue
+
+                def body(i, a, jac=jac, tr=tr, t=t, cnt=cnt):
+                    jl = jax.lax.dynamic_slice(
+                        jac, (i * chunk * r * t,), (chunk * r * t,)
+                    ).reshape(chunk, r, t)
+                    trl = jax.lax.dynamic_slice(tr, (i * chunk,), (chunk,))
+                    return a + jax.ops.segment_sum(
+                        jnp.sum(jl * jl, axis=1), trl, num_segments=cnt + 1
+                    )
+
+                acc[pm.t_cls] = jax.lax.fori_loop(0, nc, body, acc[pm.t_cls])
         return self._psum(self._flatten_classes(acc))
 
     def scale_columns(self, scale):
         """Return a new BlockJacobian with tangent columns scaled by `scale`
-        (Jacobi scaling; reference: trust_region_minimizer.cc)."""
+        (Jacobi scaling; reference: trust_region_minimizer.cc). Chunked so
+        the scaled copy is written flat (unpadded)."""
         st = self._v_tables(scale)
         new_groups = []
         for gi in range(len(self.jac_groups)):
+            meta = self.program.groups[gi]
+            n = self._group_n(gi)
+            r = meta.num_residuals
+            chunk = min(n, CHUNK)
+            nc = _nchunks(n)
             jacs = []
             for pm, jac, tr in self._iter(gi):
                 if pm.t_cls < 0:
                     jacs.append(jac)
                     continue
-                rows = jnp.take(st[pm.t_cls], tr, axis=0)  # [n, t]
-                jacs.append(jac * rows[:, None, :])
+                t = pm.tangent_size
+                table = st[pm.t_cls]
+
+                if n <= CHUNK:
+                    rows = jnp.take(table, tr, axis=0)
+                    jl = jac.reshape(n, r, t)
+                    jacs.append((jl * rows[:, None, :]).reshape(-1))
+                    continue
+
+                def body(i, a, jac=jac, tr=tr, table=table, t=t):
+                    jl = jax.lax.dynamic_slice(
+                        jac, (i * chunk * r * t,), (chunk * r * t,)
+                    ).reshape(chunk, r, t)
+                    trl = jax.lax.dynamic_slice(tr, (i * chunk,), (chunk,))
+                    rows = jnp.take(table, trl, axis=0)
+                    return jax.lax.dynamic_update_slice(
+                        a,
+                        (jl * rows[:, None, :]).reshape(-1),
+                        (i * chunk * r * t,),
+                    )
+
+                jacs.append(jax.lax.fori_loop(0, nc, body, jnp.zeros_like(jac)))
             new_groups.append(tuple(jacs))
         return BlockJacobian(
             self.program,
@@ -227,19 +359,22 @@ class BlockJacobian:
         p = self.program
         dtype = self._dtype()
         per_class = [
-            jnp.zeros((cnt + 1, s, s), dtype)
+            jnp.zeros((cnt + 1, s * s), dtype)
             for cnt, s in zip(p.tangent_class_counts, p.tangent_class_sizes)
         ]
         for gi in range(len(self.jac_groups)):
+            meta = self.program.groups[gi]
+            n = self._group_n(gi)
+            r = meta.num_residuals
             for pm, jac, tr in self._iter(gi):
                 if pm.t_cls < 0:
                     continue
                 if class_ids is not None and pm.t_cls not in class_ids:
                     continue
-                jtj = jnp.einsum("nrp,nrq->npq", jac, jac)
                 cnt = p.tangent_class_counts[pm.t_cls]
-                per_class[pm.t_cls] = per_class[pm.t_cls] + jax.ops.segment_sum(
-                    jtj, tr, num_segments=cnt + 1
+                t = pm.tangent_size
+                per_class[pm.t_cls] = per_class[pm.t_cls] + segment_outer_flat(
+                    jac, tr, n, r, t, cnt + 1
                 )
         out = []
         if dsq is not None:
@@ -247,7 +382,8 @@ class BlockJacobian:
 
             dt = tangent_tables(p, dsq)
         for cls, acc in enumerate(per_class):
-            acc = self._psum(acc[:-1])
+            s = p.tangent_class_sizes[cls]
+            acc = self._psum(acc[:-1]).reshape(-1, s, s)
             if dsq is not None:
                 acc = acc + jax.vmap(jnp.diag)(dt[cls])
             out.append(acc)
@@ -255,18 +391,8 @@ class BlockJacobian:
 
     # -- materialization (small problems / parity export) ----------------- #
 
-    def _global_cols(self, pm, tr):
-        """Global tangent column indices [n, t] for a position (export)."""
-        p = self.program
-        base = int(p.tangent_class_bases[pm.t_cls])
-        cnt = p.tangent_class_counts[pm.t_cls]
-        t = pm.tangent_size
-        # dump rows (== cnt) map past num_cols; callers mask them
-        return base + tr[:, None] * t + jnp.arange(t)[None, :]
-
     def to_dense(self):
-        """Dense [num_rows, num_cols] Jacobian (DENSE_QR/DENSE_NORMAL_CHOLESKY
-        path and tests; reference: DenseSparseMatrix)."""
+        """Dense [num_rows, num_cols] Jacobian (small problems / tests)."""
         dtype = self._dtype()
         num_cols_pad = self.num_cols + max(
             (self.program.tangent_class_sizes or [1])
@@ -274,7 +400,8 @@ class BlockJacobian:
         a = jnp.zeros((self.num_rows, num_cols_pad), dtype=dtype)
         for gi in range(len(self.jac_groups)):
             meta = self.program.groups[gi]
-            n, r = meta.n, meta.num_residuals
+            n_arr = self._group_n(gi)
+            n, r = meta.n, meta.num_residuals  # logical rows (unpadded)
             rows = meta.row_offset + jnp.arange(n * r).reshape(n, r, 1)
             for pm, jac, tr in self._iter(gi):
                 if pm.t_cls < 0:
@@ -282,14 +409,13 @@ class BlockJacobian:
                 cnt = self.program.tangent_class_counts[pm.t_cls]
                 base = int(self.program.tangent_class_bases[pm.t_cls])
                 t = pm.tangent_size
-                # clamp dump rows into the padding area
-                col0 = jnp.where(
-                    tr < cnt, base + tr * t, self.num_cols
-                )
+                jl = jac.reshape(n_arr, r, t)[:n]
+                trl = tr[:n]
+                col0 = jnp.where(trl < cnt, base + trl * t, self.num_cols)
                 cols = col0[:, None, None] + jnp.arange(t)[None, None, :]
-                cols = jnp.broadcast_to(cols, jac.shape)
-                rr = jnp.broadcast_to(rows, jac.shape)
-                a = a.at[rr, cols].add(jac)
+                cols = jnp.broadcast_to(cols, jl.shape)
+                rr = jnp.broadcast_to(rows, jl.shape)
+                a = a.at[rr, cols].add(jl)
         return a[:, : self.num_cols]
 
     def to_crs(self):
@@ -298,26 +424,23 @@ class BlockJacobian:
         rows_list, cols_list, vals_list = [], [], []
         for gi in range(len(self.jac_groups)):
             meta = self.program.groups[gi]
+            n_arr = self._group_n(gi)
             n, r = meta.n, meta.num_residuals
             base_rows = meta.row_offset + np.arange(n * r).reshape(n, r, 1)
             for pm, jac, tr in self._iter(gi):
                 if pm.t_cls < 0:
                     continue
-                jac = np.asarray(jac)
-                tr = np.asarray(tr)
+                jl = np.asarray(jac).reshape(n_arr, r, pm.tangent_size)[:n]
+                trl = np.asarray(tr)[:n]
                 t = pm.tangent_size
                 cnt = self.program.tangent_class_counts[pm.t_cls]
                 base = int(self.program.tangent_class_bases[pm.t_cls])
-                cols = (
-                    base
-                    + tr[:, None, None] * t
-                    + np.arange(t)[None, None, :]
-                )
+                cols = base + trl[:, None, None] * t + np.arange(t)[None, None, :]
                 cols = np.broadcast_to(cols, (n, r, t)).reshape(-1)
                 rows = np.broadcast_to(base_rows, (n, r, t)).reshape(-1)
-                vals = jac.reshape(-1)
+                vals = jl.reshape(-1)
                 keep = np.broadcast_to(
-                    (tr < cnt)[:, None, None], (n, r, t)
+                    (trl < cnt)[:, None, None], (n, r, t)
                 ).reshape(-1)
                 rows_list.append(rows[keep])
                 cols_list.append(cols[keep])

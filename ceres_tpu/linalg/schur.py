@@ -74,24 +74,37 @@ def schur_jacobi_blocks(program, jac_e, jac_f, ete_solver, dsq_f):
     # segment-sum into the f-block diagonal.
     corrections = [jnp.zeros((b.shape[0] + 1, *b.shape[1:]), b.dtype) for b in ftf]
     for gi in range(len(jac_f.jac_groups)):
-        e_jacs = jac_f.program.groups[gi]
         if not jac_e.jac_groups[gi]:
             continue
-        e_jac = jac_e.jac_groups[gi][0]  # [n, r, te]; one e-position per group
+        meta = program.groups[gi]
+        n = jac_f._group_n(gi)
+        r = meta.num_residuals
+        e_jac = jac_e.jac_groups[gi][0]  # flat [n*r*te]; one e-position/group
         e_tr = jac_e.t_rows[gi][0]  # [n] rows in the e-class
-        e_pm = program.groups[gi].positions[jac_e.positions[gi][0]]
+        e_pm = meta.positions[jac_e.positions[gi][0]]
         for vpos, (f_jac, f_tr) in enumerate(
             zip(jac_f.jac_groups[gi], jac_f.t_rows[gi])
         ):
-            pm = program.groups[gi].positions[jac_f.positions[gi][vpos]]
+            pm = meta.positions[jac_f.positions[gi][vpos]]
             if pm.t_cls < 0:
                 continue
-            etf = jnp.einsum("nre,nrf->nef", e_jac, f_jac)  # [n, te, tf]
-            minv_etf = _apply_ete_rows(ete_solver, e_pm.t_cls, e_tr, etf)
-            corr = jnp.einsum("nef,neg->nfg", minv_etf, etf)  # F^T E M^-1 E^T F
             cnt = program.tangent_class_counts[pm.t_cls]
-            corrections[pm.t_cls] = corrections[pm.t_cls] + jax.ops.segment_sum(
-                corr, f_tr, num_segments=cnt + 1
+            tf = pm.tangent_size
+            flat = _chunked_correction(
+                ete_solver,
+                e_pm.t_cls,
+                e_jac,
+                e_tr,
+                f_jac,
+                f_tr,
+                n,
+                r,
+                e_pm.tangent_size,
+                tf,
+                cnt + 1,
+            )
+            corrections[pm.t_cls] = corrections[pm.t_cls] + flat.reshape(
+                cnt + 1, tf, tf
             )
     out = []
     for cls in range(len(ftf)):
@@ -106,6 +119,47 @@ def _apply_ete_rows(ete_solver, e_cls, e_rows, etf):
     fetch each row's Cholesky factor by its class row index (a row take)."""
     chol = jnp.take(ete_solver.factors[e_cls], e_rows, axis=0)  # [n, te, te]
     return jax.vmap(lambda c, m: jax.scipy.linalg.cho_solve((c, True), m))(chol, etf)
+
+
+def _chunked_correction(
+    ete_solver, e_cls, e_jac, e_tr, f_jac, f_tr, n, r, te, tf, num_segments,
+    chunk: int = 131_072,
+):
+    """segment_sum over f-blocks of F^T E M^{-1} E^T F per residual block.
+
+    e_jac/f_jac are flat [n*r*t]; computed chunk-wise with flattened
+    [chunk, tf*tf] accumulation (a full [n, tf, tf] would be TPU-tile-padded
+    ~32x and OOM at BA scale)."""
+
+    def corr_chunk(ej, fj, etr):
+        etf = jnp.einsum("nre,nrf->nef", ej, fj)  # [c, te, tf]
+        minv = _apply_ete_rows(ete_solver, e_cls, etr, etf)
+        return jnp.einsum("nef,neg->nfg", minv, etf).reshape(-1, tf * tf)
+
+    if n <= chunk:
+        return jax.ops.segment_sum(
+            corr_chunk(e_jac.reshape(n, r, te), f_jac.reshape(n, r, tf), e_tr),
+            f_tr,
+            num_segments=num_segments,
+        )
+
+    nchunks = -(-n // chunk)
+
+    def body(i, acc):
+        ej = jax.lax.dynamic_slice(
+            e_jac, (i * chunk * r * te,), (chunk * r * te,)
+        ).reshape(chunk, r, te)
+        fj = jax.lax.dynamic_slice(
+            f_jac, (i * chunk * r * tf,), (chunk * r * tf,)
+        ).reshape(chunk, r, tf)
+        etr = jax.lax.dynamic_slice(e_tr, (i * chunk,), (chunk,))
+        ftr = jax.lax.dynamic_slice(f_tr, (i * chunk,), (chunk,))
+        return acc + jax.ops.segment_sum(
+            corr_chunk(ej, fj, etr), ftr, num_segments=num_segments
+        )
+
+    init = jnp.zeros((num_segments, tf * tf), e_jac.dtype)
+    return jax.lax.fori_loop(0, nchunks, body, init)
 
 
 def schur_solve(program, options, jac_s, res_groups, grad_s, dsq):

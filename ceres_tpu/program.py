@@ -525,26 +525,53 @@ class Program:
     # ------------------------------------------------------------------ #
 
     def arrays(self, dtype=None):
-        """Materialize the jnp pytree consumed by the evaluator."""
+        """Materialize the jnp pytree consumed by the evaluator.
+
+        Groups larger than the streaming chunk are padded to a chunk
+        multiple with masked rows so the chunked Jacobian products
+        (jacobian.py) never need remainder handling."""
         import jax.numpy as jnp
 
+        from .jacobian import CHUNK
         from .utils.dtypes import default_dtype
 
         dtype = dtype or default_dtype()
         groups = []
-        for idx in self.group_idx:
-            groups.append(
-                {
-                    "a_rows": tuple(jnp.asarray(a) for a in idx["a_rows"]),
-                    "t_rows": tuple(jnp.asarray(a) for a in idx["t_rows"]),
-                    "data": tuple(
-                        jnp.asarray(d, dtype=dtype)
-                        if np.issubdtype(np.asarray(d).dtype, np.floating)
-                        else jnp.asarray(d)
-                        for d in idx["data"]
-                    ),
-                }
-            )
+        for meta, idx in zip(self.groups, self.group_idx):
+            n = meta.n
+            target = n if n <= CHUNK else -(-n // CHUNK) * CHUNK
+            pad = target - n
+
+            def pad_rows(a, value):
+                a = np.asarray(a)
+                if pad == 0:
+                    return a
+                fill = np.full((pad,) + a.shape[1:], value, dtype=a.dtype)
+                return np.concatenate([a, fill], axis=0)
+
+            t_rows = []
+            for pos, pm in enumerate(meta.positions):
+                dump = (
+                    self.tangent_class_counts[pm.t_cls] if pm.t_cls >= 0 else 0
+                )
+                t_rows.append(jnp.asarray(pad_rows(idx["t_rows"][pos], dump)))
+            g = {
+                "a_rows": tuple(
+                    jnp.asarray(pad_rows(a, 0)) for a in idx["a_rows"]
+                ),
+                "t_rows": tuple(t_rows),
+                "data": tuple(
+                    jnp.asarray(pad_rows(d, 0), dtype=dtype)
+                    if np.issubdtype(np.asarray(d).dtype, np.floating)
+                    else jnp.asarray(pad_rows(d, 0))
+                    for d in idx["data"]
+                ),
+            }
+            if pad:
+                g["mask"] = jnp.asarray(
+                    np.concatenate([np.ones(n), np.zeros(pad)]), dtype=dtype
+                )
+            groups.append(g)
         arrays = {
             "groups": groups,
             "plus_euclid": [

@@ -28,13 +28,15 @@ def make_dogleg_step_fn(program, options, evaluator):
     max_diag = options.max_lm_diagonal
 
     def gauss_newton(jac_s, res_groups, grad_s, dsq):
+        from .strategies import _flat_residuals
+
         if solver_type == LinearSolverType.DENSE_QR:
             dense = jac_s.to_dense()
-            res_flat = jnp.concatenate([r.reshape(-1) for r in res_groups])
+            res_flat = _flat_residuals(program, res_groups)
             return solve_dense_qr(dense, res_flat, dsq), jnp.asarray(0, jnp.int32)
         if solver_type == LinearSolverType.DENSE_NORMAL_CHOLESKY:
             dense = jac_s.to_dense()
-            res_flat = jnp.concatenate([r.reshape(-1) for r in res_groups])
+            res_flat = _flat_residuals(program, res_groups)
             return (
                 solve_dense_normal_cholesky(dense, res_flat, dsq),
                 jnp.asarray(0, jnp.int32),

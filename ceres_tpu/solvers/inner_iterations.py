@@ -111,9 +111,12 @@ def make_inner_iteration_fn(program, options, axis_name=None):
             cls = meta.positions[e_pos].t_cls
             tr = garr["t_rows"][e_pos]
             cnt = program.class_counts[cls]
-            per_class_jtj[cls] = per_class_jtj[cls] + jax.ops.segment_sum(
-                jnp.einsum("nrp,nrq->npq", jac, jac), tr, num_segments=cnt + 1
-            )
+            n_g, r_g, t_g = jac.shape
+            from ..jacobian import segment_outer_flat
+
+            per_class_jtj[cls] = per_class_jtj[cls] + segment_outer_flat(
+                jac.reshape(-1), tr, n_g, r_g, t_g, cnt + 1
+            ).reshape(cnt + 1, t_g, t_g)
             per_class_jtr[cls] = per_class_jtr[cls] + jax.ops.segment_sum(
                 jnp.einsum("nrp,nr->np", jac, res), tr, num_segments=cnt + 1
             )

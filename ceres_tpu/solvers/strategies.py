@@ -24,7 +24,8 @@ from ..linalg.preconditioners import make_preconditioner
 
 def _model_cost_change(jac_scaled, step, res_groups):
     """-m'(r + m/2) with m = J step; reference: trust_region_minimizer.cc
-    ComputeTrustRegionStep model_cost_change."""
+    ComputeTrustRegionStep model_cost_change. Residuals/products are flat
+    1-D per group; padded rows contribute zeros."""
     m_groups = jac_scaled.right_multiply(step)
     mcc = jnp.zeros((), dtype=step.dtype)
     for m, r in zip(m_groups, res_groups):
@@ -32,6 +33,13 @@ def _model_cost_change(jac_scaled, step, res_groups):
     if jac_scaled.axis_name:
         mcc = jax.lax.psum(mcc, jac_scaled.axis_name)
     return mcc
+
+
+def _flat_residuals(program, res_groups):
+    """Trim per-group chunk padding and concatenate (dense paths only)."""
+    return jnp.concatenate(
+        [r[: meta.rows] for meta, r in zip(program.groups, res_groups)]
+    )
 
 
 def make_lm_step_fn(program, options, evaluator):
@@ -60,11 +68,11 @@ def make_lm_step_fn(program, options, evaluator):
         lin_iters = jnp.asarray(0, jnp.int32)
         if solver_type == LinearSolverType.DENSE_QR:
             dense = jac_s.to_dense()
-            res_flat = jnp.concatenate([r.reshape(-1) for r in res_groups])
+            res_flat = _flat_residuals(program, res_groups)
             step = solve_dense_qr(dense, res_flat, dsq)
         elif solver_type == LinearSolverType.DENSE_NORMAL_CHOLESKY:
             dense = jac_s.to_dense()
-            res_flat = jnp.concatenate([r.reshape(-1) for r in res_groups])
+            res_flat = _flat_residuals(program, res_groups)
             step = solve_dense_normal_cholesky(dense, res_flat, dsq)
         elif solver_type == LinearSolverType.CGNR:
             prec = make_preconditioner(
