@@ -293,12 +293,35 @@ class Problem:
     def evaluate(
         self,
         apply_loss_function: bool = True,
-        residual_blocks_order: bool = False,
+        residual_blocks: Optional[Sequence[int]] = None,
     ):
-        """Whole-problem evaluation at the current parameter values.
+        """Whole-problem (or residual-subset) evaluation at the current
+        parameter values.
 
         Returns (cost, residuals, gradient, jacobian) where jacobian is a
-        scipy-style CRS triple. Parity: Problem::Evaluate (problem.h:430).
+        CRS triple. Parity: Problem::Evaluate + EvaluateOptions
+        (problem.h:430-467; `residual_blocks` plays the role of
+        EvaluateOptions::residual_blocks).
         """
-        program = self.compile()
+        if residual_blocks is None:
+            program = self.compile()
+            return program.evaluate_full(apply_loss=apply_loss_function)
+
+        # subset evaluation: lower a filtered program on the fly
+        import copy
+
+        from .program import Program
+
+        keep = set(int(h) for h in residual_blocks)
+        batches = []
+        for bi, batch in enumerate(self._batches):
+            nb = copy.copy(batch)
+            mask = np.zeros_like(batch.alive)
+            for h in keep:
+                entry = self._handle_index.get(h)
+                if entry and entry[0] == bi:
+                    mask[entry[1]] = True
+            nb.alive = batch.alive & mask
+            batches.append(nb)
+        program = Program(self._blocks, batches, self.evaluation_callback)
         return program.evaluate_full(apply_loss=apply_loss_function)
