@@ -34,6 +34,19 @@ import numpy as np
 CHUNK = 262_144  # rows per chunk in streamed products
 
 
+def _window_sum(x2d, d: int):
+    """Sum consecutive groups of d rows: [n*d, k] -> [n, k] via
+    reduce_window (avoids a tile-padded 3-D reshape transient)."""
+    return jax.lax.reduce_window(
+        x2d,
+        jnp.zeros((), x2d.dtype),
+        jax.lax.add,
+        window_dimensions=(d, 1),
+        window_strides=(d, 1),
+        padding="VALID",
+    )
+
+
 def _nchunks(n: int, chunk: int = None) -> int:
     chunk = chunk or CHUNK
     return max(1, -(-n // chunk))
@@ -138,11 +151,24 @@ class BlockJacobian:
         return self.program.groups[gi].n
 
     def _iter(self, gi):
-        """Yields (pos_meta, jac_flat, t_rows) for group gi."""
+        """Yields (vpos, pos_meta, jac_flat, t_rows) for group gi."""
         meta = self.program.groups[gi]
         for vpos, (jac, tr) in enumerate(zip(self.jac_groups[gi], self.t_rows[gi])):
             pm = meta.positions[self.positions[gi][vpos]]
-            yield pm, jac, tr
+            yield vpos, pm, jac, tr
+
+    def _seg_buckets(self, gi, vpos):
+        """Bucket metadata for the scatter-free reduction, or None.
+
+        Valid only for the global (unsharded) row layout: shard-local slices
+        break the bucket boundaries, so sharded Jacobians fall back to
+        segment_sum."""
+        if self.axis_name is not None:
+            return None
+        meta = self.program.groups[gi]
+        if not meta.seg_reduce:
+            return None
+        return meta.seg_reduce.get(self.positions[gi][vpos])
 
     def _v_tables(self, v):
         from .evaluator import tangent_tables
@@ -179,7 +205,7 @@ class BlockJacobian:
             nc = _nchunks(n)
             chunk = min(n, CHUNK)
 
-            for pm, jac, tr in self._iter(gi):
+            for vpos, pm, jac, tr in self._iter(gi):
                 if pm.t_cls < 0:
                     continue
                 t = pm.tangent_size
@@ -224,11 +250,30 @@ class BlockJacobian:
             chunk = min(n, CHUNK)
             nc = _nchunks(n)
 
-            for pm, jac, tr in self._iter(gi):
+            for vpos, pm, jac, tr in self._iter(gi):
                 if pm.t_cls < 0:
                     continue
                 t = pm.tangent_size
                 cnt = self.program.tangent_class_counts[pm.t_cls]
+
+                seg = self._seg_buckets(gi, vpos)
+                if seg is not None:
+                    table = jnp.zeros((cnt + 1, t), self._dtype())
+                    for (row_start, n_seg, d, out_row) in seg:
+                        jl = jax.lax.dynamic_slice(
+                            jac, (row_start * r * t,), (n_seg * d * r * t,)
+                        ).reshape(n_seg * d, r, t)
+                        ul = jax.lax.dynamic_slice(
+                            u, (row_start * r,), (n_seg * d * r,)
+                        ).reshape(n_seg * d, r)
+                        contrib = jnp.einsum("nrt,nr->nt", jl, ul)
+                        if d > 1:
+                            contrib = _window_sum(contrib, d)
+                        table = jax.lax.dynamic_update_slice(
+                            table, contrib, (out_row, 0)
+                        )
+                    acc[pm.t_cls] = acc[pm.t_cls] + table
+                    continue
 
                 if n <= CHUNK:
                     jl = jac.reshape(n, r, t)
@@ -274,11 +319,27 @@ class BlockJacobian:
             r = meta.num_residuals
             chunk = min(n, CHUNK)
             nc = _nchunks(n)
-            for pm, jac, tr in self._iter(gi):
+            for vpos, pm, jac, tr in self._iter(gi):
                 if pm.t_cls < 0:
                     continue
                 t = pm.tangent_size
                 cnt = self.program.tangent_class_counts[pm.t_cls]
+
+                seg = self._seg_buckets(gi, vpos)
+                if seg is not None:
+                    table = jnp.zeros((cnt + 1, t), self._dtype())
+                    for (row_start, n_seg, d, out_row) in seg:
+                        jl = jax.lax.dynamic_slice(
+                            jac, (row_start * r * t,), (n_seg * d * r * t,)
+                        ).reshape(n_seg * d, r, t)
+                        contrib = jnp.sum(jl * jl, axis=1)
+                        if d > 1:
+                            contrib = _window_sum(contrib, d)
+                        table = jax.lax.dynamic_update_slice(
+                            table, contrib, (out_row, 0)
+                        )
+                    acc[pm.t_cls] = acc[pm.t_cls] + table
+                    continue
 
                 if n <= CHUNK:
                     jl = jac.reshape(n, r, t)
@@ -312,7 +373,7 @@ class BlockJacobian:
             chunk = min(n, CHUNK)
             nc = _nchunks(n)
             jacs = []
-            for pm, jac, tr in self._iter(gi):
+            for vpos, pm, jac, tr in self._iter(gi):
                 if pm.t_cls < 0:
                     jacs.append(jac)
                     continue
@@ -366,13 +427,32 @@ class BlockJacobian:
             meta = self.program.groups[gi]
             n = self._group_n(gi)
             r = meta.num_residuals
-            for pm, jac, tr in self._iter(gi):
+            for vpos, pm, jac, tr in self._iter(gi):
                 if pm.t_cls < 0:
                     continue
                 if class_ids is not None and pm.t_cls not in class_ids:
                     continue
                 cnt = p.tangent_class_counts[pm.t_cls]
                 t = pm.tangent_size
+
+                seg = self._seg_buckets(gi, vpos)
+                if seg is not None:
+                    table = jnp.zeros((cnt + 1, t * t), self._dtype())
+                    for (row_start, n_seg, d, out_row) in seg:
+                        jl = jax.lax.dynamic_slice(
+                            jac, (row_start * r * t,), (n_seg * d * r * t,)
+                        ).reshape(n_seg * d, r, t)
+                        outer = jnp.einsum("nrp,nrq->npq", jl, jl).reshape(
+                            n_seg * d, t * t
+                        )
+                        if d > 1:
+                            outer = _window_sum(outer, d)
+                        table = jax.lax.dynamic_update_slice(
+                            table, outer, (out_row, 0)
+                        )
+                    per_class[pm.t_cls] = per_class[pm.t_cls] + table
+                    continue
+
                 per_class[pm.t_cls] = per_class[pm.t_cls] + segment_outer_flat(
                     jac, tr, n, r, t, cnt + 1
                 )
@@ -403,7 +483,7 @@ class BlockJacobian:
             n_arr = self._group_n(gi)
             n, r = meta.n, meta.num_residuals  # logical rows (unpadded)
             rows = meta.row_offset + jnp.arange(n * r).reshape(n, r, 1)
-            for pm, jac, tr in self._iter(gi):
+            for vpos, pm, jac, tr in self._iter(gi):
                 if pm.t_cls < 0:
                     continue
                 cnt = self.program.tangent_class_counts[pm.t_cls]
@@ -427,7 +507,7 @@ class BlockJacobian:
             n_arr = self._group_n(gi)
             n, r = meta.n, meta.num_residuals
             base_rows = meta.row_offset + np.arange(n * r).reshape(n, r, 1)
-            for pm, jac, tr in self._iter(gi):
+            for vpos, pm, jac, tr in self._iter(gi):
                 if pm.t_cls < 0:
                     continue
                 jl = np.asarray(jac).reshape(n_arr, r, pm.tangent_size)[:n]

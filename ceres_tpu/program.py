@@ -54,6 +54,10 @@ class SigGroupMeta:
     positions: tuple
     n: int
     row_offset: int
+    # {position: tuple of (row_start, n_seg, degree, out_row_start)} for the
+    # scatter-free bucketed reduction (rows sorted by that position's class
+    # row; None/absent -> segment_sum fallback)
+    seg_reduce: Optional[dict] = None
 
     @property
     def num_residuals(self) -> int:
@@ -73,15 +77,39 @@ class ManifoldGroupMeta:
 class Program:
     """Executable lowering of a Problem. See module docstring."""
 
+    # groups at least this large get the scatter-free bucketed reduction
+    SEG_REDUCE_THRESHOLD = 32_768
+    MAX_SEG_BUCKETS = 512
+
     def __init__(self, blocks, batches, evaluation_callback=None):
         self._blocks = blocks
         self._batches = batches
         self.evaluation_callback = evaluation_callback
+        self._compute_block_degrees()
         self._build_layout()
         self._build_plus_structure()
         self._build_classes()
         self._build_groups()
         self._evaluator = None
+
+    def _compute_block_degrees(self):
+        """Residual-row count per parameter block (its 'degree').
+
+        Tangent classes are laid out in (degree, id) order so that rows of a
+        large signature group, sorted by the designated reduce position's
+        class row, form contiguous equal-degree runs — making J^T-side
+        reductions pure reshape+sum (see _build_groups seg_reduce). XLA's
+        TPU scatter costs ~250 ms for 5M rows -> 1M segments regardless of
+        sortedness (measured), so avoiding scatter entirely is the only
+        fast path.
+        """
+        nb = len(self._blocks)
+        deg = np.zeros(nb, dtype=np.int64)
+        for batch in self._batches:
+            rows = batch.param_ids[batch.alive]
+            if rows.size:
+                np.add.at(deg, rows.reshape(-1), 1)
+        self.block_degree = deg
 
     def _build_classes(self):
         """Aliases over the class-contiguous layout tables (see
@@ -179,12 +207,14 @@ class Program:
         self.t_class = np.full(nb, -1, dtype=np.int64)
         self.t_row = np.full(nb, -1, dtype=np.int64)
         t_counts = [0] * len(self.tangent_class_sizes)
-        for b in blocks:
-            if b.removed or b.constant:
-                continue
+        # class rows assigned in (degree, id) order — see _compute_block_degrees
+        free_ids = [b.index for b in blocks if not b.removed and not b.constant]
+        free_ids.sort(key=lambda i: (int(self.block_degree[i]), i))
+        for i in free_ids:
+            b = blocks[i]
             c = self.tangent_class_of_size[b.tangent_size]
-            self.t_class[b.index] = c
-            self.t_row[b.index] = t_counts[c]
+            self.t_class[i] = c
+            self.t_row[i] = t_counts[c]
             t_counts[c] += 1
         self.tangent_class_counts = t_counts
         self.tangent_class_bases = np.concatenate(
@@ -386,6 +416,32 @@ class Program:
                 n=n,
                 row_offset=row_offset,
             )
+
+            # ---- scatter-free reduction layout (large groups) ----
+            # Sort rows by the reduce position's class row; with classes in
+            # (degree, id) order this yields contiguous equal-degree runs, so
+            # J^T-side reductions become reshape+sum per run with contiguous
+            # output rows (meta.seg_reduce) — no scatter.
+            perm = None
+            if n >= self.SEG_REDUCE_THRESHOLD:
+                candidates = [
+                    (self.tangent_class_counts[pm.t_cls], pos)
+                    for pos, pm in enumerate(positions)
+                    if pm.t_cls >= 0
+                    and np.all(self.t_row[pid[:, pos]] >= 0)  # all free
+                ]
+                if candidates:
+                    _, rpos = max(candidates)
+                    rows_of = self.t_row[pid[:, rpos]]
+                    perm = np.argsort(rows_of, kind="stable")
+                    pid = pid[perm]
+                    data = tuple(d[perm] for d in data)
+                    a_rows = [a[perm] for a in a_rows]
+                    t_rows = [t[perm] for t in t_rows]
+                    block_ids = [b[perm] for b in block_ids]
+                    buckets = self._seg_buckets(t_rows[rpos])
+                    if buckets is not None:
+                        meta.seg_reduce = {rpos: buckets}
             self.groups.append(meta)
             self.group_idx.append(
                 {
@@ -396,17 +452,67 @@ class Program:
                 }
             )
 
-            # handle bookkeeping
+            # handle bookkeeping (accounting for the seg_reduce row perm)
+            inv = None
+            if perm is not None:
+                inv = np.empty_like(perm)
+                inv[perm] = np.arange(len(perm))
             grow = 0
             for bi, rows in members:
                 for r in rows:
-                    self._handle_map[(bi, int(r))] = (gi, grow)
+                    dest = grow if inv is None else int(inv[grow])
+                    self._handle_map[(bi, int(r))] = (gi, dest)
                     grow += 1
 
             row_offset += meta.rows
 
         self.num_residuals = row_offset
         self.num_residual_blocks = sum(g.n for g in self.groups)
+
+    def _seg_buckets(self, sorted_rows: np.ndarray):
+        """Bucket decomposition of a class-row-sorted row array.
+
+        Returns tuple of (row_start, n_seg, degree, out_row_start) covering
+        all rows, where each bucket is n_seg consecutive class rows (starting
+        at out_row_start) each with exactly `degree` rows — so the reduction
+        is reshape(n_seg, degree, k).sum(1) written at out_row_start. Returns
+        None when the decomposition fragments (> MAX_SEG_BUCKETS) or rows of
+        one block are non-contiguous (shouldn't happen after sorting).
+        """
+        from .jacobian import CHUNK
+
+        uniq, starts, counts = np.unique(
+            sorted_rows, return_index=True, return_counts=True
+        )
+        # blocks must be consecutive class rows for contiguous output
+        buckets = []
+        i = 0
+        m = len(uniq)
+        while i < m:
+            j = i + 1
+            # extend run: consecutive class rows with equal degree
+            while (
+                j < m
+                and counts[j] == counts[i]
+                and uniq[j] == uniq[j - 1] + 1
+            ):
+                j += 1
+            d = int(counts[i])
+            n_seg = j - i
+            row_start = int(starts[i])
+            out_row = int(uniq[i])
+            # sub-chunk so one bucket never exceeds CHUNK rows (the d>1
+            # reduce is a 2-D reduce_window, so no extra n_seg cap needed)
+            max_seg = max(1, CHUNK // max(d, 1))
+            k = 0
+            while k < n_seg:
+                take = min(max_seg, n_seg - k)
+                buckets.append((row_start + k * d, take, d, out_row + k))
+                k += take
+            i = j
+        if len(buckets) > self.MAX_SEG_BUCKETS:
+            return None
+        return tuple(buckets)
 
     def _sig_key_for_row(self, batch, row):
         cf = batch.cost_function
