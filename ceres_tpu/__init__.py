@@ -49,6 +49,7 @@ from .types import (
     Summary,
     TerminationType,
     TrustRegionStrategyType,
+    VisibilityClusteringType,
 )
 
 __version__ = "0.1.0"
@@ -63,6 +64,7 @@ __all__ = [
     "LinearSolverType",
     "PreconditionerType",
     "TrustRegionStrategyType",
+    "VisibilityClusteringType",
     "DoglegType",
     "MinimizerType",
     "TerminationType",

@@ -202,6 +202,21 @@ def schur_solve(program, options, jac_s, res_groups, grad_s, dsq):
         elif options.preconditioner_type == PreconditionerType.JACOBI:
             blocks = jac_f.block_diag_jtj(dsq=dsq_f)
             prec = BlockDiagSolver(program, blocks)
+        elif options.preconditioner_type in (
+            PreconditionerType.CLUSTER_JACOBI,
+            PreconditionerType.CLUSTER_TRIDIAGONAL,
+        ):
+            from .visibility import VisibilityPreconditioner
+
+            prec = VisibilityPreconditioner(
+                program,
+                jac_e,
+                jac_f,
+                ete,
+                dsq_f,
+                options.preconditioner_type,
+                options.visibility_clustering_type,
+            )
         elif (
             options.preconditioner_type
             == PreconditionerType.SCHUR_POWER_SERIES_EXPANSION

@@ -48,3 +48,45 @@ def solve_sparse_normal_cholesky(
         r = rhs - a @ x
         x = x + solver.solve(r)
     return x
+
+
+class SubsetPreconditioner:
+    """M = Q'Q + diag(dsq), Q = user-selected residual rows of J.
+
+    reference: subset_preconditioner.cc:68-115 — the reference also routes
+    this through a *host* sparse Cholesky (SuiteSparse/Eigen); here the CRS
+    export of the device Jacobian is factored with SuperLU once per outer
+    iteration, and each PCG application crosses to the host through
+    jax.pure_callback (same per-apply host boundary as the reference's
+    RightMultiplyAndAccumulate -> sparse_cholesky_->Solve).
+    """
+
+    def __init__(self, jac, subset_rows, dsq):
+        if not HAVE_SCIPY:
+            raise RuntimeError("scipy unavailable for SUBSET preconditioner")
+        vals, cols, row_ptr = jac.to_crs()
+        n = jac.num_cols
+        j = sp.csr_matrix(
+            (np.asarray(vals, dtype=np.float64), cols, row_ptr),
+            shape=(jac.num_rows, n),
+        )
+        q = j[np.asarray(subset_rows)]
+        a = (q.T @ q).tocsc() + sp.diags(np.asarray(dsq, dtype=np.float64))
+        self._solver = spla.splu(a)
+        self._n = n
+        self._dtype = np.asarray(dsq).dtype
+
+    def __call__(self, r):
+        import jax
+
+        def host_solve(x):
+            return self._solver.solve(np.asarray(x, dtype=np.float64)).astype(
+                self._dtype
+            )
+
+        return jax.pure_callback(
+            host_solve,
+            jax.ShapeDtypeStruct(r.shape, r.dtype),
+            r,
+            vmap_method="sequential",
+        )

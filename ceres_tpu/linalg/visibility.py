@@ -1,0 +1,816 @@
+"""Visibility-based preconditioners: CLUSTER_JACOBI / CLUSTER_TRIDIAGONAL.
+
+reference: visibility_based_preconditioner.cc (574 LoC), visibility.cc,
+canonical_views_clustering.cc, single_linkage_clustering.cc,
+graph_algorithms.h Degree2MaximumSpanningForest.
+
+Design. The reference clusters cameras by scene visibility, restricts the
+Schur complement S to {within-cluster blocks} (CLUSTER_JACOBI) or
+{within-cluster blocks + degree-2-max-spanning-forest edges}
+(CLUSTER_TRIDIAGONAL), and factors the result with CHOLMOD on the host.
+
+TPU-native shape: all *structure* (visibility graph, clustering, forest,
+pair -> destination routing) is computed once on the host from the Program's
+index tables; all *values* stay on device. Cluster blocks are assembled by
+batched triangular solves + einsums over per-point observation groups and
+one deterministic segment-sum per chunk (the analog of the reference's
+SchurEliminator chunk assembly), giving padded dense per-cluster matrices:
+
+  CLUSTER_JACOBI      [n_clusters, L*tf, L*tf] per size bucket -> batched
+                      Cholesky + batched cho_solve (pure MXU work).
+  CLUSTER_TRIDIAGONAL the degree-2 forest is a set of *paths*, so each tree
+                      is a block-tridiagonal chain; factorization and solve
+                      are lax.scan block-Cholesky sweeps along the chains,
+                      batched across chains. If the unscaled factorization
+                      produces NaNs the off-diagonal blocks are scaled by
+                      0.5 and refactored (visibility_based_preconditioner.cc
+                      :332-388 does the same on CHOLMOD failure).
+
+Approximations (documented, quality-only): pair corrections are accumulated
+within each (signature-group, camera-position) stream; cross-group and
+cross-position couplings of the same point are dropped — the same BA-shape
+assumption the reference's eliminator chunks encode (each residual row: one
+e-block + one camera). Sharded (multi-host) Jacobians fall back to
+SCHUR_JACOBI because shard-local row slices break per-point contiguity.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+# reference: visibility_based_preconditioner.cc:63-65
+CANONICAL_VIEWS_SIZE_PENALTY = 3.0
+CANONICAL_VIEWS_SIMILARITY_PENALTY = 0.0
+CANONICAL_VIEWS_MIN_VIEWS = 3
+SINGLE_LINKAGE_MIN_SIMILARITY = 0.9
+
+# device chunking: points per assembly batch / pairs per segment-sum
+POINT_CHUNK_FLOATS = 4_000_000
+PAIR_CHUNK = 262_144
+MAX_STORAGE_FLOATS = 1_500_000_000  # refuse preconditioners that can't fit
+
+
+# --------------------------------------------------------------------- #
+# host: observation streams, visibility graph, clustering
+# --------------------------------------------------------------------- #
+
+
+def _camera_streams(program, jac_e, jac_f):
+    """Identify the e-class and the camera class; collect per-(group,
+    f-position) observation streams as host arrays.
+
+    Returns (e_cls, cam_cls, streams) with streams =
+    [(gi, e_vpos, f_vpos, point_rows, cam_rows)] where *_rows are class-row
+    arrays of length meta.n. Raises ValueError when the problem is not
+    BA-shaped (multiple e-classes, or camera positions of mixed classes).
+    """
+    e_cls = None
+    cam_cls = None
+    streams = []
+    for gi, meta in enumerate(program.groups):
+        if not jac_e.jac_groups[gi]:
+            continue
+        e_pos = jac_e.positions[gi][0]
+        pm_e = meta.positions[e_pos]
+        if e_cls is None:
+            e_cls = pm_e.t_cls
+        elif e_cls != pm_e.t_cls:
+            raise ValueError(
+                "CLUSTER_* preconditioners need a single e-block class"
+            )
+        pt_rows = program.group_idx[gi]["t_rows"][e_pos]
+        for fv, f_pos in enumerate(jac_f.positions[gi]):
+            pm_f = meta.positions[f_pos]
+            if pm_f.t_cls < 0:
+                continue
+            if cam_cls is None:
+                cam_cls = pm_f.t_cls
+            elif pm_f.t_cls != cam_cls:
+                raise ValueError(
+                    "CLUSTER_* preconditioners need camera blocks of one size"
+                )
+            cam_rows = program.group_idx[gi]["t_rows"][f_pos]
+            streams.append((gi, 0, fv, pt_rows, cam_rows))
+    if e_cls is None or cam_cls is None:
+        raise ValueError("no e-block/camera structure for CLUSTER_* preconditioner")
+    return e_cls, cam_cls, streams
+
+
+def _visibility_edges(streams, n_cams, n_points):
+    """Camera similarity graph from shared-point counts.
+
+    reference: visibility.cc CreateSchurComplementGraph — edge weight
+    w(c1,c2) = |V1 ∩ V2| / sqrt(|V1| |V2|) over per-camera visible-point
+    sets. Returns (ci, cj, w) with ci < cj, plus per-camera visibility
+    counts.
+    """
+    pt = np.concatenate([s[3] for s in streams])
+    cam = np.concatenate([s[4] for s in streams])
+    keep = cam < n_cams  # drop constant-camera dump rows
+    pt, cam = pt[keep], cam[keep]
+    # distinct (point, camera) incidences
+    inc = np.unique(pt.astype(np.int64) * n_cams + cam.astype(np.int64))
+    pti = inc // n_cams
+    cami = (inc % n_cams).astype(np.int64)
+    vis_count = np.bincount(cami, minlength=n_cams)
+
+    order = np.argsort(pti, kind="stable")
+    pti, cami = pti[order], cami[order]
+    uniq, starts, counts = np.unique(pti, return_index=True, return_counts=True)
+    pair_i, pair_j = [], []
+    for d in np.unique(counts):
+        if d < 2:
+            continue
+        sel = counts == d
+        idx = starts[sel][:, None] + np.arange(d)[None, :]
+        cams_d = cami[idx]  # [m, d] sorted within each point
+        cams_d = np.sort(cams_d, axis=1)
+        iu, ju = np.triu_indices(int(d), k=1)
+        pair_i.append(cams_d[:, iu].reshape(-1))
+        pair_j.append(cams_d[:, ju].reshape(-1))
+    if pair_i:
+        pi = np.concatenate(pair_i)
+        pj = np.concatenate(pair_j)
+        key = pi * n_cams + pj
+        ukey, cnt = np.unique(key, return_counts=True)
+        ci = ukey // n_cams
+        cj = ukey % n_cams
+        denom = np.sqrt(vis_count[ci].astype(np.float64) * vis_count[cj])
+        w = cnt / np.maximum(denom, 1.0)
+    else:
+        ci = cj = np.zeros(0, dtype=np.int64)
+        w = np.zeros(0)
+    return ci, cj, w, vis_count
+
+
+def canonical_views_clustering(
+    n_cams,
+    ci,
+    cj,
+    w,
+    vis_count,
+    min_views=CANONICAL_VIEWS_MIN_VIEWS,
+    size_penalty_weight=CANONICAL_VIEWS_SIZE_PENALTY,
+    similarity_penalty_weight=CANONICAL_VIEWS_SIMILARITY_PENALTY,
+    view_score_weight=0.0,
+):
+    """Greedy canonical-views clustering (canonical_views_clustering.cc).
+
+    Quality difference of adding candidate v:
+      view_score_weight * 1.0
+      + sum_neighbors max(0, w(v,n) - current_similarity(n))
+      - size_penalty_weight
+      - similarity_penalty_weight * sum_centers w(center, v)
+    Self edges of weight 1.0 are included (visibility.cc:123-127).
+    Cameras left unassigned become singleton clusters
+    (FlattenMembershipMap, visibility_based_preconditioner.cc:536-560).
+    Returns (membership [n_cams], n_clusters).
+    """
+    # symmetric neighbor lists incl. self edges
+    src = np.concatenate([ci, cj, np.arange(n_cams)])
+    dst = np.concatenate([cj, ci, np.arange(n_cams)])
+    ww = np.concatenate([w, w, np.ones(n_cams)])
+    only_observed = vis_count > 0
+
+    sim = np.zeros(n_cams)  # similarity to current canonical view
+    assign = np.full(n_cams, -1, dtype=np.int64)
+    valid = only_observed.copy()
+    centers = []
+    while valid.any():
+        gain_e = np.maximum(0.0, ww - sim[dst])
+        gain = np.bincount(src, weights=gain_e, minlength=n_cams)
+        score = view_score_weight + gain - size_penalty_weight
+        if centers and similarity_penalty_weight:
+            # penalty: similarity of candidate to existing centers
+            pen = np.zeros(n_cams)
+            cmask = np.isin(src, centers)
+            np.add.at(pen, dst[cmask], ww[cmask])
+            score = score - similarity_penalty_weight * pen
+        score = np.where(valid, score, -np.inf)
+        best = int(np.argmax(score))
+        if score[best] <= 0 and len(centers) >= min_views:
+            break
+        centers.append(best)
+        valid[best] = False
+        upd = src == best
+        better = ww[upd] > sim[dst[upd]]
+        tgt = dst[upd][better]
+        assign[tgt] = best
+        sim[tgt] = ww[upd][better]
+
+    membership = np.full(n_cams, -1, dtype=np.int64)
+    for k, c in enumerate(centers):
+        membership[assign == c] = k
+    nclusters = len(centers)
+    for cam in np.nonzero(membership < 0)[0]:
+        membership[cam] = nclusters
+        nclusters += 1
+    return membership, nclusters
+
+
+def single_linkage_clustering(
+    n_cams, ci, cj, w, min_similarity=SINGLE_LINKAGE_MIN_SIMILARITY
+):
+    """Union-find over edges with w >= min_similarity
+    (single_linkage_clustering.cc:40-120)."""
+    parent = np.arange(n_cams)
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    for a, b, wt in zip(ci, cj, w):
+        if wt < min_similarity:
+            continue
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    roots = np.array([find(i) for i in range(n_cams)])
+    _, membership = np.unique(roots, return_inverse=True)
+    return membership.astype(np.int64), int(membership.max()) + 1 if n_cams else 0
+
+
+def degree2_max_spanning_forest(n_clusters, ei, ej, w):
+    """Greedy degree-2 maximum-weight spanning forest -> set of paths.
+
+    reference: graph_algorithms.h:261-330. Returns chains: list of cluster-id
+    paths covering every cluster exactly once (singletons included).
+    """
+    order = np.argsort(-np.asarray(w), kind="stable")
+    deg = np.zeros(n_clusters, dtype=np.int64)
+    parent = np.arange(n_clusters)
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    adj = [[] for _ in range(n_clusters)]
+    for k in order:
+        a, b = int(ei[k]), int(ej[k])
+        if deg[a] >= 2 or deg[b] >= 2:
+            continue
+        ra, rb = find(a), find(b)
+        if ra == rb:
+            continue
+        parent[ra] = rb
+        deg[a] += 1
+        deg[b] += 1
+        adj[a].append(b)
+        adj[b].append(a)
+
+    chains = []
+    seen = np.zeros(n_clusters, dtype=bool)
+    for c in range(n_clusters):
+        if seen[c] or len(adj[c]) > 1:
+            continue
+        # endpoint (deg<=1): walk the path
+        chain = [c]
+        seen[c] = True
+        cur, prev = c, -1
+        while True:
+            nxt = [x for x in adj[cur] if x != prev]
+            if not nxt:
+                break
+            prev, cur = cur, nxt[0]
+            chain.append(cur)
+            seen[cur] = True
+        chains.append(chain)
+    assert seen.all(), "degree-2 forest must cover all clusters with paths"
+    return chains
+
+
+# --------------------------------------------------------------------- #
+# host: assembly plan (structure only; cached on the Program)
+# --------------------------------------------------------------------- #
+
+
+class _AssemblyPlan:
+    """Static routing tables for on-device assembly of cluster blocks."""
+
+    def __init__(self, program, jac_e, jac_f, kind, clustering_type):
+        from ..types import PreconditionerType, VisibilityClusteringType
+
+        self.kind = kind
+        e_cls, cam_cls, streams = _camera_streams(program, jac_e, jac_f)
+        self.e_cls, self.cam_cls = e_cls, cam_cls
+        n_cams = program.tangent_class_counts[cam_cls]
+        n_points = program.tangent_class_counts[e_cls]
+        self.n_cams = n_cams
+        self.tf = program.tangent_class_sizes[cam_cls]
+        self.te = program.tangent_class_sizes[e_cls]
+
+        ci, cj, w, vis_count = _visibility_edges(streams, n_cams, n_points)
+        if clustering_type == VisibilityClusteringType.SINGLE_LINKAGE:
+            membership, n_clusters = single_linkage_clustering(n_cams, ci, cj, w)
+        else:
+            membership, n_clusters = canonical_views_clustering(
+                n_cams, ci, cj, w, vis_count
+            )
+        self.membership = membership
+        self.n_clusters = n_clusters
+
+        # members of each cluster, sorted by class row; member index arrays
+        member_of = np.zeros(n_cams, dtype=np.int64)
+        members = [np.nonzero(membership == c)[0] for c in range(n_clusters)]
+        for c, m in enumerate(members):
+            member_of[m] = np.arange(len(m))
+        self.members = members
+        self.member_of = member_of
+        sizes = np.array([len(m) for m in members], dtype=np.int64)
+
+        tridiag = kind == PreconditionerType.CLUSTER_TRIDIAGONAL
+        if tridiag:
+            # cluster graph weighted by summed camera-pair similarity
+            cw = {}
+            for a, b, wt in zip(ci, cj, w):
+                ca, cb = membership[int(a)], membership[int(b)]
+                if ca == cb:
+                    continue
+                key = (min(ca, cb), max(ca, cb))
+                cw[key] = cw.get(key, 0.0) + wt
+            if cw:
+                ei = np.array([k[0] for k in cw])
+                ej = np.array([k[1] for k in cw])
+                ew = np.array(list(cw.values()))
+            else:
+                ei = ej = np.zeros(0, dtype=np.int64)
+                ew = np.zeros(0)
+            self.chains = degree2_max_spanning_forest(n_clusters, ei, ej, ew)
+            # next-in-chain pointer; edge block of cluster c couples (c ->
+            # next[c]) with rows = next's members, cols = c's members
+            self.chain_next = np.full(n_clusters, -1, dtype=np.int64)
+            for chain in self.chains:
+                for a, b in zip(chain[:-1], chain[1:]):
+                    self.chain_next[a] = b
+            self.L = int(sizes.max()) if n_clusters else 1
+            est = (n_clusters * 2 + 64) * (self.L * self.tf) ** 2
+            if est > MAX_STORAGE_FLOATS:
+                raise ValueError(
+                    "CLUSTER_TRIDIAGONAL storage too large "
+                    f"({est:.2e} floats); use SCHUR_JACOBI"
+                )
+            self.buckets = [(self.L, np.arange(n_clusters))]
+        else:
+            # size buckets (next pow2) so padding cost is bounded
+            self.chains = None
+            self.chain_next = None
+            caps = np.maximum(1, 2 ** np.ceil(np.log2(np.maximum(sizes, 1))))
+            self.buckets = []
+            for cap in np.unique(caps):
+                cl = np.nonzero(caps == cap)[0]
+                self.buckets.append((int(cap), cl))
+            est = sum(
+                len(cl) * (cap * self.tf) ** 2 for cap, cl in self.buckets
+            )
+            if est > MAX_STORAGE_FLOATS:
+                raise ValueError(
+                    "CLUSTER_JACOBI storage too large "
+                    f"({est:.2e} floats); use SCHUR_JACOBI"
+                )
+
+        # bucket-local index of each cluster
+        self.bucket_of = np.zeros(n_clusters, dtype=np.int64)
+        self.idx_in_bucket = np.zeros(n_clusters, dtype=np.int64)
+        for bi, (cap, cl) in enumerate(self.buckets):
+            self.bucket_of[cl] = bi
+            self.idx_in_bucket[cl] = np.arange(len(cl))
+
+        self._plan_pairs(program, streams)
+        self._plan_vectors(program)
+
+    # ---------------- pair routing ---------------- #
+
+    def _plan_pairs(self, program, streams):
+        """Chunked per-point pair enumeration with destination keys."""
+        tf = self.tf
+        membership, member_of = self.membership, self.member_of
+        tridiag = self.chain_next is not None
+        self.chunks = []  # per chunk: dict of device-side static arrays
+        for gi, _ev, fv, pt_rows, cam_rows in streams:
+            order = np.argsort(pt_rows, kind="stable")
+            spt = pt_rows[order]
+            uniq, starts, counts = np.unique(
+                spt, return_index=True, return_counts=True
+            )
+            r = program.groups[gi].num_residuals
+            for d in np.unique(counts):
+                d = int(d)
+                sel = counts == d
+                obs_idx = order[starts[sel][:, None] + np.arange(d)[None, :]]
+                pt_of = uniq[sel]
+                m_total = obs_idx.shape[0]
+                mc = max(
+                    1,
+                    POINT_CHUNK_FLOATS
+                    // max(1, d * r * (self.te + tf) + d * d * tf * tf),
+                )
+                for s0 in range(0, m_total, mc):
+                    oi = obs_idx[s0 : s0 + mc]  # [m, d]
+                    pts = pt_of[s0 : s0 + mc]
+                    m = oi.shape[0]
+                    cams = cam_rows[oi]  # [m, d]
+                    cl = np.where(cams < self.n_cams, membership[
+                        np.minimum(cams, self.n_cams - 1)
+                    ], -1)
+                    mem = np.where(cams < self.n_cams, member_of[
+                        np.minimum(cams, self.n_cams - 1)
+                    ], 0)
+                    ca = cl[:, :, None]
+                    cb = cl[:, None, :]
+                    ia = np.broadcast_to(
+                        np.arange(d)[None, :, None], (m, d, d)
+                    )
+                    ib = np.broadcast_to(
+                        np.arange(d)[None, None, :], (m, d, d)
+                    )
+                    valid = (ca >= 0) & (cb >= 0)
+                    same = valid & (ca == cb)
+                    routes = {}
+                    # within-cluster pairs -> per-bucket dense storage
+                    for bi, (cap, _clist) in enumerate(self.buckets):
+                        selp = same & (self.bucket_of[np.maximum(ca, 0)] == bi)
+                        p, a, b = np.nonzero(selp)
+                        if p.size == 0:
+                            continue
+                        key = (
+                            self.idx_in_bucket[cl[p, a]] * cap * cap
+                            + mem[p, a] * cap
+                            + mem[p, b]
+                        )
+                        routes[("bucket", bi)] = (
+                            (p * d + a).astype(np.int32),
+                            (p * d + b).astype(np.int32),
+                            key.astype(np.int32),
+                        )
+                    if tridiag:
+                        # chain-edge pairs: cluster(b) -> cluster(a) == next
+                        edge = valid & (
+                            self.chain_next[np.maximum(cb, 0)]
+                            == np.maximum(ca, -1)
+                        ) & (ca != cb)
+                        p, a, b = np.nonzero(edge)
+                        if p.size:
+                            L = self.L
+                            key = (
+                                cl[p, b] * L * L + mem[p, a] * L + mem[p, b]
+                            )
+                            routes[("edge", 0)] = (
+                                (p * d + a).astype(np.int32),
+                                (p * d + b).astype(np.int32),
+                                key.astype(np.int32),
+                            )
+                    if routes:
+                        self.chunks.append(
+                            dict(
+                                gi=gi,
+                                fv=fv,
+                                d=d,
+                                r=r,
+                                obs=oi.astype(np.int32),
+                                pts=pts.astype(np.int32),
+                                routes=routes,
+                            )
+                        )
+
+    # ---------------- vector gather/scatter ---------------- #
+
+    def _plan_vectors(self, program):
+        """Tangent indices of each padded cluster slot (pad -> num_eff)."""
+        tf = self.tf
+        base = int(program.tangent_class_bases[self.cam_cls])
+        num_eff = program.num_effective_parameters
+        self.vec_idx = []  # per bucket [n_b, cap*tf]
+        for cap, cl in self.buckets:
+            idx = np.full((len(cl), cap * tf), num_eff, dtype=np.int32)
+            for k, c in enumerate(cl):
+                rows = self.members[c]
+                pos = (
+                    base
+                    + rows[:, None] * tf
+                    + np.arange(tf)[None, :]
+                ).reshape(-1)
+                idx[k, : pos.size] = pos
+            self.vec_idx.append(idx)
+        # padded-slot diagonal mask per bucket (1 where padding)
+        self.pad_diag = []
+        for bi, (cap, cl) in enumerate(self.buckets):
+            mask = (self.vec_idx[bi] == num_eff).astype(np.float64)
+            self.pad_diag.append(mask)
+        if self.chains is not None:
+            K = max(len(c) for c in self.chains)
+            nch = len(self.chains)
+            self.chain_mat = np.full((nch, K), -1, dtype=np.int64)
+            for i, c in enumerate(self.chains):
+                self.chain_mat[i, : len(c)] = c
+            self.K = K
+
+
+# --------------------------------------------------------------------- #
+# device: assembly + apply
+# --------------------------------------------------------------------- #
+
+
+def _gather_rows(flat, n_pad, width, idx):
+    """Rows of a flat [n_pad*width] group tensor by host index array."""
+    mat = flat.reshape(n_pad, width)
+    idx = np.asarray(idx)
+    flat_idx = idx.reshape(-1)
+    # contiguous ranges lower to a slice instead of a gather
+    if flat_idx.size and np.all(np.diff(flat_idx) == 1):
+        out = jax.lax.dynamic_slice(
+            mat, (int(flat_idx[0]), 0), (flat_idx.size, width)
+        )
+    else:
+        out = jnp.take(mat, jnp.asarray(flat_idx), axis=0)
+    return out.reshape(*idx.shape, width)
+
+
+class VisibilityPreconditioner:
+    """CLUSTER_JACOBI / CLUSTER_TRIDIAGONAL over a BA-shaped problem.
+
+    Built per outer iteration from the current (scaled) Jacobian views and
+    the factorized (E'E + D_e^2)^{-1}; applied inside the PCG loop on the
+    reduced camera system. Camera-class entries get M^{-1} r; entries of
+    other classes pass through unchanged.
+    """
+
+    def __init__(
+        self, program, jac_e, jac_f, ete_solver, dsq_f, kind, clustering_type
+    ):
+        if jac_f.axis_name is not None:
+            raise ValueError(
+                "CLUSTER_* preconditioners are not available for sharded "
+                "Jacobians; use SCHUR_JACOBI"
+            )
+        cache = getattr(program, "_visibility_plans", None)
+        if cache is None:
+            cache = program._visibility_plans = {}
+        key = (kind, clustering_type)
+        plan = cache.get(key)
+        if plan is None:
+            plan = _AssemblyPlan(program, jac_e, jac_f, kind, clustering_type)
+            cache[key] = plan
+        self.plan = plan
+        self.program = program
+        self._build(program, jac_e, jac_f, ete_solver, dsq_f)
+
+    # ---------------- assembly ---------------- #
+
+    def _corrections(self, jac_e, jac_f, ete_solver):
+        """Per-bucket (and edge) segment-summed pair corrections."""
+        plan = self.plan
+        tf, te = plan.tf, plan.te
+        dtype = jac_f._dtype()
+        acc = {
+            ("bucket", bi): jnp.zeros(
+                (len(cl) * cap * cap, tf * tf), dtype
+            )
+            for bi, (cap, cl) in enumerate(plan.buckets)
+        }
+        if plan.chain_next is not None:
+            acc[("edge", 0)] = jnp.zeros(
+                (plan.n_clusters * plan.L * plan.L, tf * tf), dtype
+            )
+        chol_e = ete_solver.factors[plan.e_cls]
+
+        for ch in plan.chunks:
+            gi, fv, d, r = ch["gi"], ch["fv"], ch["d"], ch["r"]
+            n_pad = jac_f._group_n(gi)
+            e_flat = jac_e.jac_groups[gi][0]
+            f_flat = jac_f.jac_groups[gi][fv]
+            m = ch["obs"].shape[0]
+            ej = _gather_rows(e_flat, n_pad, r * te, ch["obs"]).reshape(
+                m, d, r, te
+            )
+            fj = _gather_rows(f_flat, n_pad, r * tf, ch["obs"]).reshape(
+                m, d, r, tf
+            )
+            w = jnp.einsum("mdre,mdrf->mdef", ej, fj)  # [m,d,te,tf]
+            lch = jnp.take(chol_e, jnp.asarray(ch["pts"]), axis=0)
+            wt = w.transpose(0, 2, 1, 3).reshape(m, te, d * tf)
+            y = jax.lax.linalg.triangular_solve(
+                lch, wt, left_side=True, lower=True
+            )
+            y_pairs = (
+                y.reshape(m, te, d, tf).transpose(0, 2, 1, 3).reshape(
+                    m * d, te, tf
+                )
+            )
+            for dest, (sa, sb, key) in ch["routes"].items():
+                for p0 in range(0, sa.size, PAIR_CHUNK):
+                    sl = slice(p0, p0 + PAIR_CHUNK)
+                    ya = jnp.take(y_pairs, jnp.asarray(sa[sl]), axis=0)
+                    yb = jnp.take(y_pairs, jnp.asarray(sb[sl]), axis=0)
+                    blocks = jnp.einsum("pet,peu->ptu", ya, yb).reshape(
+                        -1, tf * tf
+                    )
+                    acc[dest] = acc[dest] + jax.ops.segment_sum(
+                        blocks,
+                        jnp.asarray(key[sl]),
+                        num_segments=acc[dest].shape[0],
+                    )
+        return acc
+
+    def _dense_buckets(self, corr, ftf_cam):
+        """[n_b, cap*tf, cap*tf] per bucket: diag(F'F + dsq) - corrections +
+        identity on padded slots."""
+        plan = self.plan
+        tf = plan.tf
+        dtype = ftf_cam.dtype
+        ftf_pad = jnp.concatenate(
+            [ftf_cam, jnp.zeros((1, tf, tf), dtype)], axis=0
+        )
+        out = []
+        for bi, (cap, cl) in enumerate(plan.buckets):
+            nb = len(cl)
+            c = corr[("bucket", bi)].reshape(nb, cap, cap, tf, tf)
+            # member camera rows (pad -> dump row)
+            rows = np.full((nb, cap), ftf_cam.shape[0], dtype=np.int64)
+            for k, cidx in enumerate(cl):
+                mem = plan.members[cidx]
+                rows[k, : len(mem)] = mem
+            diag = jnp.take(ftf_pad, jnp.asarray(rows.reshape(-1)), axis=0)
+            diag = diag.reshape(nb, cap, tf, tf)
+            dmat = (
+                jnp.zeros((nb, cap, cap, tf, tf), dtype)
+                .at[:, np.arange(cap), np.arange(cap)]
+                .set(diag)
+            )
+            dense = (dmat - c).transpose(0, 1, 3, 2, 4).reshape(
+                nb, cap * tf, cap * tf
+            )
+            pad = jnp.asarray(plan.pad_diag[bi], dtype)
+            dense = dense + jax.vmap(jnp.diag)(pad)
+            # tiny ridge for scale-free robustness (BlockDiagSolver-style)
+            eps = 1e-12 * jnp.maximum(
+                1.0,
+                jnp.max(jnp.abs(dense), axis=(1, 2), keepdims=True),
+            )
+            dense = dense + eps * jnp.eye(cap * tf, dtype=dtype)
+            out.append(dense)
+        return out
+
+    def _build(self, program, jac_e, jac_f, ete_solver, dsq_f):
+        plan = self.plan
+        corr = self._corrections(jac_e, jac_f, ete_solver)
+        ftf = jac_f.block_diag_jtj(dsq=dsq_f)
+        ftf_cam = ftf[plan.cam_cls]
+        dense = self._dense_buckets(corr, ftf_cam)
+
+        if plan.chain_next is None:
+            self.factors = [jnp.linalg.cholesky(d) for d in dense]
+            self.edge_factors = None
+        else:
+            # single bucket at global pad L; chain scan factorization
+            s = plan.L * plan.tf
+            d_all = dense[0]  # [n_clusters, s, s]
+            edges = corr[("edge", 0)].reshape(
+                plan.n_clusters, plan.L, plan.L, plan.tf, plan.tf
+            )
+            # S = FtF - corr; edge blocks have no FtF part
+            b_all = -edges.transpose(0, 1, 3, 2, 4).reshape(
+                plan.n_clusters, s, s
+            )
+            cm = plan.chain_mat  # [nch, K]
+            nch, K = cm.shape
+            eye = jnp.eye(s, dtype=d_all.dtype)
+            d_pad = jnp.concatenate([d_all, eye[None]], axis=0)
+            b_pad = jnp.concatenate(
+                [b_all, jnp.zeros((1, s, s), d_all.dtype)], axis=0
+            )
+            cidx = np.where(cm >= 0, cm, plan.n_clusters)
+            d_seq = jnp.take(d_pad, jnp.asarray(cidx.T), axis=0)  # [K,nch,s,s]
+            # edge of chain position k couples k -> k+1; stored under the
+            # *earlier* cluster id. Last position has no edge.
+            eidx = np.where(
+                (cm >= 0) & (np.arange(K)[None, :] < K - 1),
+                np.where(cm >= 0, cm, 0),
+                plan.n_clusters,
+            )
+            # a cluster's edge is valid only if its chain successor exists
+            succ = np.full((nch, K), plan.n_clusters, dtype=np.int64)
+            succ[:, : K - 1] = cidx[:, 1:]
+            eidx = np.where(succ < plan.n_clusters, eidx, plan.n_clusters)
+            b_seq = jnp.take(b_pad, jnp.asarray(eidx.T), axis=0)  # [K,nch,s,s]
+
+            def factor(d_seq, b_seq):
+                def body(carry, inp):
+                    d_next, b_k = inp
+                    l_k = jnp.linalg.cholesky(carry)
+                    # E_k = B_k L_k^{-T}: solve L_k X = B_k^T, E = X^T
+                    x = jax.lax.linalg.triangular_solve(
+                        l_k,
+                        jnp.swapaxes(b_k, -1, -2),
+                        left_side=True,
+                        lower=True,
+                    )
+                    e_k = jnp.swapaxes(x, -1, -2)
+                    new_carry = d_next - jnp.einsum(
+                        "nij,nkj->nik", e_k, e_k
+                    )
+                    return new_carry, (l_k, e_k)
+
+                d_rest = jnp.concatenate(
+                    [d_seq[1:], jnp.broadcast_to(eye, d_seq[:1].shape)]
+                )
+                _, (l_seq, e_seq) = jax.lax.scan(
+                    body, d_seq[0], (d_rest, b_seq)
+                )
+                return l_seq, e_seq
+
+            l_seq, e_seq = factor(d_seq, b_seq)
+            bad = jnp.logical_not(jnp.all(jnp.isfinite(l_seq)))
+            # reference behavior: retry with off-diagonal blocks scaled by
+            # 0.5 when the unscaled factorization fails
+            l_seq, e_seq = jax.lax.cond(
+                bad,
+                lambda: factor(d_seq, 0.5 * b_seq),
+                lambda: (l_seq, e_seq),
+            )
+            self.factors = (l_seq, e_seq)
+            self._chain_shape = (nch, K, s)
+
+    # ---------------- apply ---------------- #
+
+    def __call__(self, r):
+        plan = self.plan
+        tf = plan.tf
+        num_eff = self.program.num_effective_parameters
+        r_pad = jnp.concatenate([r, jnp.zeros((1,), r.dtype)])
+        out = r
+
+        if plan.chain_next is None:
+            for bi, (cap, cl) in enumerate(plan.buckets):
+                idx = jnp.asarray(plan.vec_idx[bi])
+                rhs = jnp.take(r_pad, idx, axis=0)  # [n_b, cap*tf]
+                sol = jax.vmap(
+                    lambda c, v: jax.scipy.linalg.cho_solve((c, True), v)
+                )(self.factors[bi], rhs)
+                out = (
+                    jnp.concatenate([out, jnp.zeros((1,), r.dtype)])
+                    .at[idx.reshape(-1)]
+                    .set(sol.reshape(-1))[:-1]
+                )
+            return out
+
+        # tridiagonal chains: forward then backward block sweeps
+        l_seq, e_seq = self.factors
+        nch, K, s = self._chain_shape
+        cidx = np.where(plan.chain_mat >= 0, plan.chain_mat, plan.n_clusters)
+        # tangent indices per chain position
+        vec_idx = plan.vec_idx[0]  # [n_clusters, s]
+        vec_pad = np.concatenate(
+            [vec_idx, np.full((1, s), num_eff, dtype=np.int32)]
+        )
+        gidx = vec_pad[cidx]  # [nch, K, s]
+        b_seq = jnp.take(r_pad, jnp.asarray(gidx.transpose(1, 0, 2)), axis=0)
+
+        # forward: y_k = L_k^{-1}(b_k - E_{k-1} y_{k-1})
+        def fwd_body(carry, inp):
+            l_k, e_k, b_k = inp
+            y_k = jax.lax.linalg.triangular_solve(
+                l_k, (b_k - carry)[..., None], left_side=True, lower=True
+            )[..., 0]
+            carry_next = jnp.einsum("nij,nj->ni", e_k, y_k)
+            return carry_next, y_k
+
+        _, y_seq = jax.lax.scan(
+            fwd_body,
+            jnp.zeros((nch, s), r.dtype),
+            (l_seq, e_seq, b_seq),
+        )
+
+        # backward: x_k = L_k^{-T}(y_k - E_k^T x_{k+1})
+        def bwd_body(carry, inp):
+            l_k, e_k, y_k = inp
+            rhs = y_k - jnp.einsum("nji,nj->ni", e_k, carry)
+            x_k = jax.lax.linalg.triangular_solve(
+                l_k,
+                rhs[..., None],
+                left_side=True,
+                lower=True,
+                transpose_a=True,
+            )[..., 0]
+            return x_k, x_k
+
+        _, x_rev = jax.lax.scan(
+            bwd_body,
+            jnp.zeros((nch, s), r.dtype),
+            (l_seq[::-1], e_seq[::-1], y_seq[::-1]),
+        )
+        x_seq = x_rev[::-1]  # [K, nch, s]
+
+        flat_idx = gidx.transpose(1, 0, 2).reshape(-1)
+        out = (
+            jnp.concatenate([out, jnp.zeros((1,), r.dtype)])
+            .at[flat_idx]
+            .set(x_seq.reshape(-1))[:-1]
+        )
+        return out

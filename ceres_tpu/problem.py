@@ -290,6 +290,25 @@ class Problem:
             self._dirty = False
         return self._program
 
+    def residual_rows_for_handles(self, handles) -> np.ndarray:
+        """Global residual-row indices (compiled-program row space) of the
+        given residual-block handles. Used by the SUBSET preconditioner
+        (reference: reorder_program.cc ReorderResidualBlocksByPartition +
+        subset_preconditioner_start_row_block — here the rows are addressed
+        directly, no reordering needed)."""
+        program = self.compile()
+        rows = []
+        for h in handles:
+            bi, row = self._handle_index[int(h)]
+            gi, grow = program._handle_map[(bi, row)]
+            meta = program.groups[gi]
+            r = meta.num_residuals
+            start = meta.row_offset + grow * r
+            rows.append(np.arange(start, start + r))
+        return (
+            np.concatenate(rows) if rows else np.zeros(0, dtype=np.int64)
+        )
+
     def evaluate(
         self,
         apply_loss_function: bool = True,

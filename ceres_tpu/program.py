@@ -258,6 +258,34 @@ class Program:
             self.lower_bound = None
             self.upper_bound = None
 
+    def bound_coordinate_maps(self):
+        """(tangent_idx, ambient_idx) int arrays pairing each tangent
+        coordinate of a free Euclidean block with its ambient state slot.
+        Used for active-set masking of bound-constrained coordinates (blocks
+        with non-trivial manifolds have no coordinate-wise pairing and are
+        excluded; the projection in Plus still clamps them)."""
+        if getattr(self, "_bound_maps", None) is not None:
+            return self._bound_maps
+        from .manifolds import EuclideanManifold
+
+        t_idx, a_idx = [], []
+        for b in self._blocks:
+            if b.removed or b.constant:
+                continue
+            if b.manifold is not None and not isinstance(
+                b.manifold, EuclideanManifold
+            ):
+                continue
+            to = int(self.t_offsets[b.index])
+            ao = int(self.x_offsets[b.index])
+            t_idx.append(np.arange(to, to + b.size))
+            a_idx.append(np.arange(ao, ao + b.size))
+        self._bound_maps = (
+            np.concatenate(t_idx) if t_idx else np.zeros(0, dtype=np.int64),
+            np.concatenate(a_idx) if a_idx else np.zeros(0, dtype=np.int64),
+        )
+        return self._bound_maps
+
     # ------------------------------------------------------------------ #
     # Plus structure
     # ------------------------------------------------------------------ #

@@ -41,6 +41,15 @@ def solve(options, problem) -> Summary:
     summary.preconditioner_type_used = options.preconditioner_type
 
     program = problem.compile(options)
+    from ..types import PreconditionerType
+
+    if (
+        options.preconditioner_type == PreconditionerType.SUBSET
+        and options.residual_blocks_for_subset_preconditioner
+    ):
+        program._subset_rows = problem.residual_rows_for_handles(
+            options.residual_blocks_for_subset_preconditioner
+        )
     summary.num_parameter_blocks_reduced = summary.num_parameter_blocks
     summary.num_parameters_reduced = summary.num_parameters
     summary.num_effective_parameters_reduced = program.num_effective_parameters

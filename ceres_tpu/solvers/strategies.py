@@ -112,6 +112,48 @@ def make_lm_step_fn(program, options, evaluator):
         valid = jnp.logical_and(jnp.all(jnp.isfinite(delta)), mcc > 0)
         return delta, mcc, lin_iters, valid
 
+    if (
+        solver_type == LinearSolverType.CGNR
+        and precond_type == PreconditionerType.SUBSET
+    ):
+        # SUBSET preconditioner: host sparse factorization of Q'Q + D'D per
+        # outer iteration (subset_preconditioner.cc:68-115 does the same via
+        # SuiteSparse); the PCG loop stays on device, each preconditioner
+        # application crosses through pure_callback. Not jittable because
+        # the factorization consumes concrete Jacobian values.
+        from ..linalg.sparse import SubsetPreconditioner
+
+        def subset_step_fn(jac, res_groups, grad, radius, scale):
+            rows = getattr(program, "_subset_rows", None)
+            if rows is None or len(rows) == 0:
+                raise ValueError(
+                    "SUBSET preconditioner requires "
+                    "residual_blocks_for_subset_preconditioner"
+                )
+            jac_s = jac.scale_columns(scale)
+            grad_s = grad * scale
+            colnorm2 = jac_s.squared_column_norms()
+            dsq = jnp.clip(colnorm2, min_diag, max_diag) / radius
+            prec = SubsetPreconditioner(jac_s, rows, dsq)
+            result = conjugate_gradients(
+                matvec=lambda v: jac_s.jtj_multiply(v, dsq),
+                b=-grad_s,
+                preconditioner=prec,
+                max_iterations=min(
+                    max_lin_iters, program.num_effective_parameters
+                ),
+                min_iterations=min_lin_iters,
+                tolerance=eta,
+            )
+            step = result.x
+            mcc = _model_cost_change(jac_s, step, res_groups)
+            delta = scale * step
+            valid = jnp.logical_and(jnp.all(jnp.isfinite(delta)), mcc > 0)
+            return delta, mcc, result.iterations, valid
+
+        subset_step_fn.jittable = False
+        return subset_step_fn
+
     if solver_type == LinearSolverType.SPARSE_NORMAL_CHOLESKY:
         # Host sparse direct path (scipy SuperLU + refinement) — same
         # CPU-library role as the reference's SuiteSparse backend. The

@@ -58,6 +58,74 @@ class TrustRegionMinimizer:
 
             self.step_fn = jax.jit(raw_step_fn)
 
+    def _grad_norms(self, ev, state, grad):
+        """(max_norm, norm) of the gradient; with bounds present these are
+        projected-gradient norms |x - Plus(x, -g)| so actives at their bound
+        stop contributing (trust_region_minimizer.cc:270-295)."""
+        import jax.numpy as jnp
+
+        if not getattr(self.program, "has_bounds", False):
+            gm = float(jnp.max(jnp.abs(grad))) if grad.size else 0.0
+            return gm, float(jnp.linalg.norm(grad))
+        diff = state - ev.plus(state, -grad)
+        return float(jnp.max(jnp.abs(diff))), float(jnp.linalg.norm(diff))
+
+    def _active_bound_mask(self, state, grad):
+        """Active-set mask over tangent coordinates: 0 where the coordinate
+        sits exactly at a bound AND the descent direction (-g) points
+        outward. Zeroing the column scale freezes those coordinates, so the
+        trust-region step slides along the boundary instead of being clipped
+        (and having its step-quality ratio destroyed by the lost model
+        decrease). Gradient-projection active-set handling of the box
+        constraints the reference clamps in PlusWithBoundsClamping."""
+        program = self.program
+        t_idx, a_idx = program.bound_coordinate_maps()
+        if t_idx.size == 0:
+            return None
+        x = np.asarray(state)[a_idx]
+        g = np.asarray(grad)[t_idx]
+        lo = program.lower_bound[a_idx]
+        hi = program.upper_bound[a_idx]
+        active = ((x <= lo) & (g > 0)) | ((x >= hi) & (g < 0))
+        if not active.any():
+            return None
+        mask = np.ones(program.num_effective_parameters)
+        mask[t_idx[active]] = 0.0
+        return mask
+
+    def _projected_line_search(self, ev, state, delta, cost, grad):
+        """Armijo backtracking on f(a) = cost(Plus(x, a*delta)) for bounded
+        problems; Plus projects onto the box, so this both enforces the
+        constraints and improves the step (trust_region_minimizer.cc:101-106,
+        585-633). Returns (scaled delta, num_cost_evaluations)."""
+        import jax.numpy as jnp
+
+        opts = self.options
+        dphi0 = float(jnp.vdot(grad, delta))
+        if not np.isfinite(dphi0) or dphi0 >= 0.0:
+            return delta, 0
+        c1 = opts.line_search_sufficient_function_decrease
+        alpha = 1.0
+        evals = 0
+        for _ in range(opts.max_num_line_search_step_size_iterations):
+            f = float(ev.cost(ev.plus(state, alpha * delta)))
+            evals += 1
+            if np.isfinite(f) and f <= cost + c1 * alpha * dphi0:
+                return (alpha * delta if alpha != 1.0 else delta), evals
+            # quadratic interpolation through (0, cost, dphi0), (alpha, f)
+            denom = 2.0 * (f - cost - dphi0 * alpha)
+            new_alpha = (
+                -dphi0 * alpha * alpha / denom
+                if np.isfinite(denom) and denom > 0
+                else 0.5 * alpha
+            )
+            new_alpha = max(new_alpha, alpha * opts.max_line_search_step_contraction)
+            new_alpha = min(new_alpha, alpha * opts.min_line_search_step_contraction)
+            alpha = new_alpha
+            if alpha < opts.min_line_search_step_size:
+                break
+        return delta, evals  # search failed; keep the full step
+
     def minimize(self, state, summary):
         options = self.options
         ev = self.evaluator
@@ -93,8 +161,7 @@ class TrustRegionMinimizer:
             else 0,
         )
 
-        grad_max_norm = float(jnp.max(jnp.abs(grad))) if grad.size else 0.0
-        grad_norm = float(jnp.linalg.norm(grad))
+        grad_max_norm, grad_norm = self._grad_norms(ev, state, grad)
         it_sum = IterationSummary(
             iteration=0,
             step_is_valid=True,
@@ -128,8 +195,13 @@ class TrustRegionMinimizer:
                 break
 
             t_solve = time.time()
+            iter_scale = scale
+            if getattr(self.program, "has_bounds", False):
+                mask = self._active_bound_mask(state, grad)
+                if mask is not None:
+                    iter_scale = scale * jnp.asarray(mask, dtype=state.dtype)
             delta, mcc, lin_iters, valid = self.step_fn(
-                jac, res_groups, grad, jnp.asarray(radius, state.dtype), scale
+                jac, res_groups, grad, jnp.asarray(radius, state.dtype), iter_scale
             )
             step_solver_time = time.time() - t_solve
             summary.num_linear_solves += 1
@@ -168,6 +240,15 @@ class TrustRegionMinimizer:
 
             num_consecutive_invalid = 0
 
+            if (
+                getattr(self.program, "has_bounds", False)
+                and options.max_num_line_search_step_size_iterations > 0
+            ):
+                delta, ls_evals = self._projected_line_search(
+                    ev, state, delta, cost, grad
+                )
+                summary.num_residual_evaluations += ls_evals
+
             candidate = ev.plus(state, delta)
             t_res = time.time()
             new_cost = float(ev.cost(candidate))
@@ -181,7 +262,13 @@ class TrustRegionMinimizer:
                 candidate, new_cost = self.inner.refine(candidate, new_cost)
                 summary.num_inner_iteration_steps += 1
 
-            step_norm = float(jnp.linalg.norm(delta))
+            # with bounds, the projected candidate can move less than |delta|;
+            # measure the realized ambient step like the reference
+            # (trust_region_minimizer.cc ComputeCandidatePointAndEvaluateCost)
+            if getattr(self.program, "has_bounds", False):
+                step_norm = float(jnp.linalg.norm(state - candidate))
+            else:
+                step_norm = float(jnp.linalg.norm(delta))
             x_norm = float(jnp.linalg.norm(state))
             cost_change = cost - new_cost
 
@@ -248,9 +335,9 @@ class TrustRegionMinimizer:
                     summary.termination_type = TerminationType.FAILURE
                     summary.message = "Residual/Jacobian evaluation failed at accepted point."
                     break
-                grad_max_norm = float(jnp.max(jnp.abs(grad))) if grad.size else 0.0
+                grad_max_norm, grad_norm = self._grad_norms(ev, state, grad)
                 it_sum.gradient_max_norm = grad_max_norm
-                it_sum.gradient_norm = float(jnp.linalg.norm(grad))
+                it_sum.gradient_norm = grad_norm
 
                 if grad_max_norm <= options.gradient_tolerance:
                     summary.termination_type = TerminationType.CONVERGENCE

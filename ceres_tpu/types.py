@@ -36,6 +36,12 @@ class PreconditionerType(enum.Enum):
     SUBSET = "SUBSET"
 
 
+class VisibilityClusteringType(enum.Enum):
+    # reference: include/ceres/types.h VisibilityClusteringType
+    CANONICAL_VIEWS = "CANONICAL_VIEWS"
+    SINGLE_LINKAGE = "SINGLE_LINKAGE"
+
+
 class TrustRegionStrategyType(enum.Enum):
     # reference: include/ceres/types.h:163-175
     LEVENBERG_MARQUARDT = "LEVENBERG_MARQUARDT"
@@ -154,6 +160,16 @@ class SolverOptions:
     use_spse_initialization: bool = False
     max_num_spse_iterations: int = 5
     spse_tolerance: float = 0.1
+    # clustering algorithm for CLUSTER_JACOBI / CLUSTER_TRIDIAGONAL
+    # (reference: solver.h visibility_clustering_type)
+    visibility_clustering_type: VisibilityClusteringType = (
+        VisibilityClusteringType.CANONICAL_VIEWS
+    )
+    # residual-block handles whose rows form the SUBSET preconditioner
+    # (reference: solver.h residual_blocks_for_subset_preconditioner)
+    residual_blocks_for_subset_preconditioner: list = dataclasses.field(
+        default_factory=list
+    )
 
     # --- line search (first-order) ---
     line_search_direction_type: LineSearchDirectionType = LineSearchDirectionType.LBFGS

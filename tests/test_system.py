@@ -20,7 +20,9 @@ from ceres_tpu.examples.more_garbow_hillstrom import PROBLEMS
 
 EASY = [p for p in PROBLEMS if p.name in (
     "rosenbrock", "beale", "helical_valley", "bard", "box_3d", "wood",
-    "freudenstein_roth", "brown_dennis",
+    "freudenstein_roth", "brown_dennis", "jennrich_sampson",
+    "powell_singular", "kowalik_osborne", "gaussian", "osborne_1",
+    "osborne_2", "biggs_exp6",
 )]
 
 
@@ -44,11 +46,47 @@ def test_garbow_hillstrom_lm(tp):
     # The certified minimum (or a known secondary local minimum — e.g.
     # Freudenstein-Roth has one at 24.4921 from this start, as the reference
     # notes in more_garbow_hillstrom.cc).
-    known_local = {"freudenstein_roth": 24.4921}
+    known_local = {
+        "freudenstein_roth": 24.4921,
+        # Biggs EXP6 with m=13 has a well-known local minimum at
+        # 0.5*5.65565e-3 reachable from the standard start
+        "biggs_exp6": 0.5 * 5.65565e-3,
+    }
     bound = max(tp.f_min * 1.01 + 1e-10, 1e-10)
     if tp.name in known_local:
         bound = max(bound, known_local[tp.name] * 1.01)
     assert summary.final_cost <= bound, (tp.name, summary.final_cost, tp.f_min)
+
+
+CONSTRAINED = [p for p in PROBLEMS if p.name in (
+    "beale", "gaussian", "box_3d", "wood", "brown_dennis",
+)]
+
+
+@pytest.mark.parametrize("tp", CONSTRAINED, ids=lambda tp: tp.name)
+def test_garbow_hillstrom_bounds_constrained(tp):
+    """Box-constrained variants against the reference's certified
+    constrained optimal costs (more_garbow_hillstrom.cc CONSTRAINED_SOLVE
+    list)."""
+    problem, b = tp.build(constrained=True)
+    options = SolverOptions(
+        linear_solver_type=LinearSolverType.DENSE_QR,
+        max_num_iterations=500,
+        use_nonmonotonic_steps=tp.name == "brown_dennis",
+        function_tolerance=1e-14,
+        gradient_tolerance=1e-12,
+        parameter_tolerance=1e-12,
+    )
+    summary = ceres_tpu.solve(options, problem)
+    # clamped actives can stall the gradient test; cost parity is the check
+    assert summary.termination_type in (
+        TerminationType.CONVERGENCE,
+        TerminationType.NO_CONVERGENCE,
+    ), summary.message
+    target = tp.constrained_f_min
+    assert summary.final_cost <= max(target * 1.02 + 1e-10, 1e-10), (
+        tp.name, summary.final_cost, target,
+    )
 
 
 @pytest.mark.parametrize(
