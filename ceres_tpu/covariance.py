@@ -31,6 +31,27 @@ class CovarianceOptions:
     apply_loss_function: bool = True
 
 
+class _ColumnSubsetMatrix:
+    """Dense view of selected columns of the (symmetric) covariance, sliced
+    like the full matrix. Backs the SPARSE_QR path, which only solves for
+    the requested blocks' columns."""
+
+    def __init__(self, n: int, cols: np.ndarray, values: np.ndarray):
+        self._n = n
+        self._col_map = {int(c): k for k, c in enumerate(cols)}
+        self._values = values  # [n, len(cols)]
+
+    def __getitem__(self, key):
+        rows, cols = key
+        try:
+            col_idx = [self._col_map[c] for c in range(cols.start, cols.stop)]
+        except KeyError as e:
+            raise ValueError(
+                "covariance block was not requested in compute()"
+            ) from e
+        return self._values[rows, :][:, col_idx]
+
+
 class Covariance:
     """reference: Covariance (covariance.h)."""
 
@@ -49,21 +70,79 @@ class Covariance:
         ev = program.evaluator()
         state = program.state_vector()
         _, _, jac, _ = ev.evaluate(state, apply_loss=self.options.apply_loss_function)
-        dense_j = np.asarray(jac.to_dense())
-        jtj = dense_j.T @ dense_j
 
-        # DENSE_SVD with eigenvalue thresholding
-        # (covariance_impl.cc ComputeCovarianceValuesUsingDenseSVD)
-        w, v = np.linalg.eigh(jtj)
-        max_w = float(np.max(w)) if w.size else 0.0
-        tol = self.options.min_reciprocal_condition_number * max_w
-        rank_deficiency = int(np.sum(w <= tol))
-        if self.options.null_space_rank >= 0 and rank_deficiency > self.options.null_space_rank:
-            return False
-        inv_w = np.where(w > tol, 1.0 / np.maximum(w, 1e-300), 0.0)
-        self._cov = (v * inv_w) @ v.T
+        if self.options.algorithm_type == CovarianceAlgorithmType.SPARSE_QR:
+            ok = self._compute_sparse(jac, program, covariance_blocks)
+            if not ok:
+                return False
+        else:
+            dense_j = np.asarray(jac.to_dense())
+            jtj = dense_j.T @ dense_j
+
+            # DENSE_SVD with eigenvalue thresholding
+            # (covariance_impl.cc ComputeCovarianceValuesUsingDenseSVD)
+            w, v = np.linalg.eigh(jtj)
+            max_w = float(np.max(w)) if w.size else 0.0
+            tol = self.options.min_reciprocal_condition_number * max_w
+            rank_deficiency = int(np.sum(w <= tol))
+            if self.options.null_space_rank >= 0 and rank_deficiency > self.options.null_space_rank:
+                return False
+            inv_w = np.where(w > tol, 1.0 / np.maximum(w, 1e-300), 0.0)
+            self._cov = (v * inv_w) @ v.T
         self._program = program
         self._problem = problem
+        return True
+
+    def _compute_sparse(self, jac, program, covariance_blocks) -> bool:
+        """SPARSE_QR algorithm: factor J^T J on the host and solve only for
+        the tangent columns the requested block pairs touch.
+
+        Same role as the reference's SUITE_SPARSE_QR / EIGEN_SPARSE_QR paths
+        (covariance_impl.cc ComputeCovarianceValuesUsingSparseQR) — a host
+        sparse factorization that avoids densifying J; here SuperLU of
+        R^T R = J^T J with per-column solves instead of a QR, with rank
+        deficiency detected from the factor's diagonal.
+        """
+        import scipy.sparse as sp
+        import scipy.sparse.linalg as spla
+
+        vals, cols, row_ptr = jac.to_crs()
+        n = jac.num_cols
+        j = sp.csr_matrix(
+            (np.asarray(vals, dtype=np.float64), cols, row_ptr),
+            shape=(jac.num_rows, n),
+        )
+        jtj = (j.T @ j).tocsc()
+
+        # union of requested tangent columns
+        wanted = set()
+        for bi, bj in covariance_blocks:
+            for b in (bi, bj):
+                off = int(program.t_offsets[b])
+                if off < 0:
+                    raise ValueError(f"parameter block {b} is constant or removed")
+                wanted.update(range(off, off + int(program.tangent_sizes[b])))
+        cols_wanted = np.array(sorted(wanted), dtype=np.int64)
+
+        try:
+            lu = spla.splu(jtj)
+        except RuntimeError:
+            return False  # singular factorization
+        du = np.abs(lu.U.diagonal())
+        max_d = float(du.max()) if du.size else 0.0
+        rank_deficiency = int(
+            np.sum(du <= self.options.min_reciprocal_condition_number * max_d)
+        )
+        if (
+            self.options.null_space_rank >= 0
+            and rank_deficiency > self.options.null_space_rank
+        ):
+            return False
+
+        rhs = np.zeros((n, len(cols_wanted)))
+        rhs[cols_wanted, np.arange(len(cols_wanted))] = 1.0
+        x = lu.solve(rhs)
+        self._cov = _ColumnSubsetMatrix(n, cols_wanted, x)
         return True
 
     def _tangent_slice(self, block: int):

@@ -435,24 +435,12 @@ class BlockJacobian:
                 cnt = p.tangent_class_counts[pm.t_cls]
                 t = pm.tangent_size
 
-                seg = self._seg_buckets(gi, vpos)
-                if seg is not None:
-                    table = jnp.zeros((cnt + 1, t * t), self._dtype())
-                    for (row_start, n_seg, d, out_row) in seg:
-                        jl = jax.lax.dynamic_slice(
-                            jac, (row_start * r * t,), (n_seg * d * r * t,)
-                        ).reshape(n_seg * d, r, t)
-                        outer = jnp.einsum("nrp,nrq->npq", jl, jl).reshape(
-                            n_seg * d, t * t
-                        )
-                        if d > 1:
-                            outer = _window_sum(outer, d)
-                        table = jax.lax.dynamic_update_slice(
-                            table, outer, (out_row, 0)
-                        )
-                    per_class[pm.t_cls] = per_class[pm.t_cls] + table
-                    continue
-
+                # NOTE: no bucketed path here. The [n, t, t] outer-product
+                # form measured pathological on TPU either way: the
+                # reduce_window variant compiles for 25+ min through the
+                # relay, and folding the degree-sum into a batched einsum
+                # runs 12x slower than segment_sum (tiny t x t matmuls
+                # don't tile the MXU). segment_sum stays the fast path.
                 per_class[pm.t_cls] = per_class[pm.t_cls] + segment_outer_flat(
                     jac, tr, n, r, t, cnt + 1
                 )

@@ -216,3 +216,71 @@ def test_covariance_rank_deficient_detected():
     p.add_residual_block(CostFunction(f, 1), None, [b])
     cov = ceres_tpu.Covariance()
     assert not cov.compute([(b, b)], p)
+
+
+def test_covariance_sparse_qr_matches_dense():
+    # SPARSE_QR (host sparse factorization, column subset) must agree with
+    # DENSE_SVD on a well-conditioned multi-block problem.
+    rng = np.random.default_rng(2)
+    xs = rng.uniform(0, 1, 40)
+    ys = 2.0 * xs + 1.0 + rng.normal(0, 0.1, 40)
+    zs = -0.5 * xs + 0.3 + rng.normal(0, 0.1, 40)
+
+    def f(params, data):
+        ab, cd = params
+        (xyz,) = data
+        return jnp.stack(
+            [
+                xyz[1] - (ab[0] * xyz[0] + ab[1]),
+                xyz[2] - (cd[0] * xyz[0] + cd[1]),
+            ]
+        )
+
+    def build():
+        p = Problem()
+        ab = p.add_parameter_block([0.0, 0.0])
+        cd = p.add_parameter_block([0.0, 0.0])
+        ids = np.stack([np.full(40, ab), np.full(40, cd)], axis=1)
+        p.add_residual_blocks(
+            CostFunction(f, 2), None, ids, (np.stack([xs, ys, zs], 1),)
+        )
+        ceres_tpu.solve(SolverOptions(max_num_iterations=50), p)
+        return p, ab, cd
+
+    p1, ab1, cd1 = build()
+    dense = ceres_tpu.Covariance()
+    assert dense.compute([(ab1, ab1), (ab1, cd1)], p1)
+
+    from ceres_tpu.covariance import CovarianceOptions
+    from ceres_tpu.types import CovarianceAlgorithmType
+
+    p2, ab2, cd2 = build()
+    sparse = ceres_tpu.Covariance(
+        CovarianceOptions(algorithm_type=CovarianceAlgorithmType.SPARSE_QR)
+    )
+    assert sparse.compute([(ab2, ab2), (ab2, cd2)], p2)
+
+    for pair1, pair2 in [((ab1, ab1), (ab2, ab2)), ((ab1, cd1), (ab2, cd2))]:
+        np.testing.assert_allclose(
+            sparse.get_covariance_block(*pair2),
+            dense.get_covariance_block(*pair1),
+            rtol=1e-8,
+            atol=1e-12,
+        )
+
+
+def test_covariance_sparse_qr_rank_deficient():
+    def f(params, data):
+        (x,) = params
+        return jnp.stack([x[0]])
+
+    from ceres_tpu.covariance import CovarianceOptions
+    from ceres_tpu.types import CovarianceAlgorithmType
+
+    p = Problem()
+    b = p.add_parameter_block([1.0, 1.0])
+    p.add_residual_block(CostFunction(f, 1), None, [b])
+    cov = ceres_tpu.Covariance(
+        CovarianceOptions(algorithm_type=CovarianceAlgorithmType.SPARSE_QR)
+    )
+    assert not cov.compute([(b, b)], p)
