@@ -154,6 +154,35 @@ def make_lm_step_fn(program, options, evaluator):
         subset_step_fn.jittable = False
         return subset_step_fn
 
+    if solver_type == LinearSolverType.SPARSE_SCHUR:
+        # Explicit block-sparse S assembled on device, factored on host
+        # (schur_complement_solver.cc sparse path + SuiteSparse). Not
+        # jittable: the factorization consumes concrete values. Non-BA
+        # problem shapes fall back to the implicit dense-S materialization.
+        from ..linalg.explicit_schur import solve_sparse_schur
+        from ..linalg.schur import schur_solve
+
+        def sparse_schur_step_fn(jac, res_groups, grad, radius, scale):
+            jac_s = jac.scale_columns(scale)
+            grad_s = grad * scale
+            colnorm2 = jac_s.squared_column_norms()
+            dsq = jnp.clip(colnorm2, min_diag, max_diag) / radius
+            try:
+                step, lin_iters = solve_sparse_schur(
+                    program, options, jac_s, res_groups, grad_s, dsq
+                )
+            except ValueError:
+                step, lin_iters = schur_solve(
+                    program, options, jac_s, res_groups, grad_s, dsq
+                )
+            mcc = _model_cost_change(jac_s, step, res_groups)
+            delta = scale * step
+            valid = jnp.logical_and(jnp.all(jnp.isfinite(delta)), mcc > 0)
+            return delta, mcc, lin_iters, valid
+
+        sparse_schur_step_fn.jittable = False
+        return sparse_schur_step_fn
+
     if solver_type == LinearSolverType.SPARSE_NORMAL_CHOLESKY:
         # Host sparse direct path (scipy SuperLU + refinement) — same
         # CPU-library role as the reference's SuiteSparse backend. The

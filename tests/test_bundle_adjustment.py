@@ -25,6 +25,7 @@ CONFIGS = [
     (LinearSolverType.ITERATIVE_SCHUR, PreconditionerType.JACOBI),
     (LinearSolverType.ITERATIVE_SCHUR, PreconditionerType.SCHUR_JACOBI),
     (LinearSolverType.DENSE_SCHUR, PreconditionerType.IDENTITY),
+    (LinearSolverType.SPARSE_SCHUR, PreconditionerType.IDENTITY),
 ]
 
 
