@@ -99,16 +99,37 @@ def plus(program, arrays, state, delta):
     return new
 
 
-def _group_eval(meta, garr, state_2d, with_jacobian: bool, apply_loss: bool):
-    """Evaluate one signature group. Returns (cost, res [n,r], jacs tuple).
+def _group_eval(
+    meta,
+    garr,
+    state_2d,
+    with_jacobian: bool,
+    apply_loss: bool,
+    sharded: bool = False,
+):
+    """Evaluate one signature group. Returns (cost, res [r,n], jacs tuple of
+    [r*t, n]) in the transposed SoA layout (see jacobian.py).
 
-    state_2d: per-ambient-class [count, size] tables; parameter gathers are
-    row takes (7x faster on TPU than element gathers at BA scale).
+    state_2d: per-ambient-class [count, size] tables. Parameter gathers are
+    row takes, except the owner position whose interleaved bucket layout
+    makes the gather a slice+broadcast (no gather at all).
     """
-    params = tuple(
-        jnp.take(state_2d[pm.a_cls], rows, axis=0)
-        for pm, rows in zip(meta.positions, garr["a_rows"])
-    )
+    from .jacobian import gather_T
+
+    params = []
+    for pos, (pm, rows) in enumerate(zip(meta.positions, garr["a_rows"])):
+        plan = (meta.red_plans or {}).get(pos)
+        if (
+            not sharded
+            and pos == meta.owner
+            and meta.owner_ambient_aligned
+            and plan is not None
+            and plan[0] == "bucket"
+        ):
+            params.append(gather_T(plan, state_2d[pm.a_cls], rows).T)
+        else:
+            params.append(jnp.take(state_2d[pm.a_cls], rows, axis=0))
+    params = tuple(params)
     fn = meta.cost_function.fn
     data = garr["data"]
     mask = garr.get("mask")  # [n] 0/1 validity (padding for sharding), or None
@@ -138,9 +159,16 @@ def _group_eval(meta, garr, state_2d, with_jacobian: bool, apply_loss: bool):
     else:
         cost = 0.5 * jnp.sum(res * res)
 
-    # flatten outputs: [n, r] / [n, r, t] tensors are TPU-tile-padded up to
-    # 42x when materialized; 1-D flats are unpadded (see jacobian.py)
-    return cost, res.reshape(-1), tuple(j.reshape(-1) for j in jacs)
+    # outputs in transposed SoA layout (jacobian.py): the [n, r(, t)]
+    # intermediates stay fusion-resident; only compact [r, n] / [r*t, n]
+    # tensors are materialized (a row-major [n, small] array would be
+    # TPU-tile-padded up to 42x).
+    n, r = res.shape
+    res_T = res.T
+    jacs_T = tuple(
+        jnp.transpose(j, (1, 2, 0)).reshape(r * j.shape[2], n) for j in jacs
+    )
+    return cost, res_T, jacs_T
 
 
 def evaluate(
@@ -164,7 +192,12 @@ def evaluate(
 
     for meta, garr in zip(program.groups, arrays["groups"]):
         cost_g, res, jacs = _group_eval(
-            meta, garr, state_2d, with_jacobian, apply_loss
+            meta,
+            garr,
+            state_2d,
+            with_jacobian,
+            apply_loss,
+            sharded=axis_name is not None,
         )
         total_cost = total_cost + cost_g
         res_groups.append(res)
@@ -184,13 +217,14 @@ def evaluate(
 
 
 def flatten_residuals(program, res_groups):
-    """Concatenate per-group flat residuals into the global residual vector,
-    trimming any chunk-padding rows (internal residual ordering: groups in
-    order, blocks within group)."""
+    """Concatenate per-group [r, n] residuals into the global residual
+    vector (internal ordering: groups in order, blocks within group,
+    residual components within block), trimming any sharding-padding
+    lanes."""
     if not res_groups:
         return jnp.zeros(0)
     return jnp.concatenate(
-        [r[: meta.rows] for meta, r in zip(program.groups, res_groups)]
+        [r[:, : meta.n].T.reshape(-1) for meta, r in zip(program.groups, res_groups)]
     )
 
 

@@ -1,26 +1,37 @@
-"""BlockJacobian: the matrix-free Jacobian operator (flat storage, chunked).
+"""BlockJacobian: the matrix-free Jacobian operator in transposed SoA layout.
 
 TPU-native replacement for the reference's materialized sparse Jacobians
 (BlockSparseMatrix, block_sparse_matrix.cc; CompressedRowSparseMatrix) and
 their CUDA views. Two hardware facts drive the design (measured on v5e at
 5M observations):
 
-1. element gathers/scatters are ~7x slower than row takes / segment-sums;
-2. ANY materialized [n, small] tensor is tile-padded (minor dim -> 128,
-   second-minor -> 8): f32[5M,2,3] costs 42.7x its logical size and OOMs.
+1. any materialized [n, small] tensor is tile-padded (minor dim -> 128,
+   second-minor -> 8): f32[5M,2,3] costs 42.7x its logical size;
+2. XLA scatter/segment-sum costs ~230 ms for 5M rows -> 1M segments
+   regardless of sortedness, and row gathers from large tables ~26 ms.
 
-So the Jacobian block tensors live as FLAT 1-D arrays [n*r*t] (T(1024)
-tiling, zero padding), and every product
+So every per-observation tensor lives TRANSPOSED, minor axis = observation:
+residuals are [r, n], the Jacobian block of one signature position is
+[r*t, n] (second-minor r*t pads to the next multiple of 8 — <= 33%
+overhead — while the n axis tiles perfectly). All products
 
     J v, J^T u, J^T J v, column norms, per-block Gram blocks
 
-runs as a fori_loop over row chunks: slice flat -> reshape [chunk, r, t]
-(small, transient) -> einsum + row-take / segment-sum -> accumulate. Group
-row counts are padded to a chunk multiple at array-build time (masked rows),
-so the loops are exact.
+are python-unrolled elementwise ops over [*, n] slices (perfect VPU lane
+utilization), and the gather/scatter problem is solved by layout:
 
-Registered as a JAX pytree; under sharding the flats are shard-local slices
-and all tangent-space reductions psum over the mesh axis.
+- the "owner" position (largest class, e.g. BA points) has its rows in the
+  interleaved bucket order (program.py red_plans): gathers become
+  slice + broadcast and reductions become reshape + sum — zero gathers,
+  zero scatters, bitwise deterministic;
+- small classes (e.g. BA cameras) reduce via one-hot matmuls on the MXU
+  (fused by XLA; ~9 ms for 5M rows -> 1778 blocks);
+- everything else falls back to jnp.take / segment_sum.
+
+Registered as a JAX pytree; under sharding the leaves are shard-local lane
+slices and all tangent-space reductions psum over the mesh axis (bucket
+plans degrade to segment_sum because shard-local lanes break bucket
+boundaries; one-hot plans shard cleanly).
 """
 
 from __future__ import annotations
@@ -31,56 +42,65 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-CHUNK = 262_144  # rows per chunk in streamed products
+
+# ---------------------------------------------------------------------- #
+# plan-based gather / reduce primitives (shared with schur.py)
+# ---------------------------------------------------------------------- #
 
 
-def _window_sum(x2d, d: int):
-    """Sum consecutive groups of d rows: [n*d, k] -> [n, k] via
-    reduce_window (avoids a tile-padded 3-D reshape transient)."""
-    return jax.lax.reduce_window(
-        x2d,
-        jnp.zeros((), x2d.dtype),
-        jax.lax.add,
-        window_dimensions=(d, 1),
-        window_strides=(d, 1),
-        padding="VALID",
-    )
+def gather_T(plan, table, rows):
+    """Gather class-table rows into transposed form [s, n].
+
+    table: [cnt(+dump), s] row-major class table.
+    rows:  [n] class-row indices (used by the fallback path).
+    plan:  ("bucket", buckets) -> slice+broadcast (no gather);
+           otherwise -> jnp.take + transpose.
+    """
+    if plan is not None and plan[0] == "bucket":
+        parts = []
+        for (lane_start, n_seg, d, out_row) in plan[1]:
+            seg = table[out_row : out_row + n_seg].T  # [s, n_seg]
+            parts.append(
+                jnp.broadcast_to(seg[:, None, :], (seg.shape[0], d, n_seg)).reshape(
+                    seg.shape[0], d * n_seg
+                )
+            )
+        return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
+    return jnp.take(table, rows, axis=0).T
 
 
-def _nchunks(n: int, chunk: int = None) -> int:
-    chunk = chunk or CHUNK
-    return max(1, -(-n // chunk))
+def reduce_T(plan, contrib, rows, num_out):
+    """Segment-reduce transposed contributions [k, n] -> [k, num_out].
 
-
-def segment_outer_flat(jac_flat, tr, n, r, t, num_segments, chunk: int = None):
-    """segment_sum of per-row Gram blocks J_i^T J_i from a flat [n*r*t]
-    jacobian; returns [num_segments, t*t]. Chunked + flattened to avoid
-    TPU tile padding."""
-    chunk = chunk or CHUNK
-    if n <= chunk:
-        jl = jac_flat.reshape(n, r, t)
-        outer = jnp.einsum("nrp,nrq->npq", jl, jl).reshape(n, t * t)
-        return jax.ops.segment_sum(outer, tr, num_segments=num_segments)
-
-    nc = _nchunks(n, chunk)
-
-    def body(i, acc):
-        jl = jax.lax.dynamic_slice(
-            jac_flat, (i * chunk * r * t,), (chunk * r * t,)
-        ).reshape(chunk, r, t)
-        trl = jax.lax.dynamic_slice(tr, (i * chunk,), (chunk,))
-        outer = jnp.einsum("nrp,nrq->npq", jl, jl).reshape(chunk, t * t)
-        return acc + jax.ops.segment_sum(outer, trl, num_segments=num_segments)
-
-    init = jnp.zeros((num_segments, t * t), jac_flat.dtype)
-    return jax.lax.fori_loop(0, nc, body, init)
+    num_out includes the dump column (constant blocks). plan:
+      ("bucket", buckets): reshape+sum per bucket (no scatter);
+      ("onehot",): one-hot matmul on the MXU;
+      ("segsum",) / None: transpose + segment_sum.
+    """
+    k = contrib.shape[0]
+    if plan is not None and plan[0] == "bucket":
+        out = jnp.zeros((k, num_out), contrib.dtype)
+        for (lane_start, n_seg, d, out_row) in plan[1]:
+            seg = contrib[:, lane_start : lane_start + n_seg * d]
+            if d > 1:
+                seg = seg.reshape(k, d, n_seg).sum(axis=1)
+            out = jax.lax.dynamic_update_slice(out, seg, (0, out_row))
+        return out
+    if plan is not None and plan[0] == "onehot":
+        onehot = jax.nn.one_hot(rows, num_out, dtype=contrib.dtype)  # [n, num_out]
+        return jnp.einsum(
+            "kn,nc->kc", contrib, onehot, preferred_element_type=contrib.dtype
+        )
+    return jax.ops.segment_sum(contrib.T, rows, num_segments=num_out).T
 
 
 @jax.tree_util.register_pytree_node_class
 class BlockJacobian:
+    """Per-(group, position) Jacobian blocks stored as [r*t, n] arrays."""
+
     def __init__(self, program, jac_groups, t_rows, axis_name=None, positions=None):
         self.program = program
-        self.jac_groups = jac_groups  # tuple over groups of tuple over pos: flat [n*r*t]
+        self.jac_groups = jac_groups  # tuple over groups of tuple over pos: [r*t, n]
         self.t_rows = t_rows  # tuple over groups of tuple over pos [n]
         self.axis_name = axis_name
         if positions is None:
@@ -124,7 +144,7 @@ class BlockJacobian:
             tuple(positions),
         )
 
-    # -- shapes ---------------------------------------------------------- #
+    # -- shapes / plumbing ------------------------------------------------ #
 
     @property
     def num_cols(self) -> int:
@@ -144,54 +164,53 @@ class BlockJacobian:
         return jnp.float32
 
     def _group_n(self, gi) -> int:
-        """Row count of group gi (from the live arrays — padded under
-        sharding/chunking)."""
+        """Lane count of group gi (shard-local under sharding)."""
         if self.t_rows[gi]:
             return self.t_rows[gi][0].shape[0]
         return self.program.groups[gi].n
 
     def _iter(self, gi):
-        """Yields (vpos, pos_meta, jac_flat, t_rows) for group gi."""
+        """Yields (vpos, pos_meta, jac [r*t, n], t_rows [n]) for group gi."""
         meta = self.program.groups[gi]
         for vpos, (jac, tr) in enumerate(zip(self.jac_groups[gi], self.t_rows[gi])):
             pm = meta.positions[self.positions[gi][vpos]]
             yield vpos, pm, jac, tr
 
-    def _seg_buckets(self, gi, vpos):
-        """Bucket metadata for the scatter-free reduction, or None.
-
-        Valid only for the global (unsharded) row layout: shard-local slices
-        break the bucket boundaries, so sharded Jacobians fall back to
-        segment_sum."""
-        if self.axis_name is not None:
-            return None
+    def plan(self, gi, vpos):
+        """Reduction/gather plan for (group, view-position); bucket plans are
+        invalid on shard-local lane slices and degrade to segment_sum."""
         meta = self.program.groups[gi]
-        if not meta.seg_reduce:
-            return None
-        return meta.seg_reduce.get(self.positions[gi][vpos])
+        plans = meta.red_plans or {}
+        plan = plans.get(self.positions[gi][vpos])
+        if plan is not None and plan[0] == "bucket" and self.axis_name is not None:
+            return ("segsum",)
+        return plan
 
     def _v_tables(self, v):
         from .evaluator import tangent_tables
 
         return tangent_tables(self.program, v, pad_zero_row=True)
 
-    def _class_accumulators(self):
+    def _class_tables_T(self):
+        """Zero per-class accumulators in transposed form [s, cnt+1]."""
         p = self.program
         dtype = self._dtype()
         return [
-            jnp.zeros((cnt + 1, s), dtype)
+            jnp.zeros((s, cnt + 1), dtype)
             for cnt, s in zip(p.tangent_class_counts, p.tangent_class_sizes)
         ]
 
-    def _flatten_classes(self, tables):
-        from .evaluator import flatten_tangent
-
-        return flatten_tangent(self.program, [t[:-1] for t in tables])
+    def _flatten_classes_T(self, tables):
+        """[s, cnt+1] per class -> flat tangent vector (drop dump column)."""
+        parts = [t[:, :-1].T.reshape(-1) for t in tables]
+        if not parts:
+            return jnp.zeros(0, self._dtype())
+        return jnp.concatenate(parts)
 
     # -- products --------------------------------------------------------- #
 
     def right_multiply(self, v):
-        """J v: tangent vector [num_cols] -> per-group flat residuals [n*r].
+        """J v: tangent vector [num_cols] -> per-group residuals [r, n].
 
         reference: BlockSparseMatrix::RightMultiplyAndAccumulate.
         """
@@ -201,103 +220,39 @@ class BlockJacobian:
             meta = self.program.groups[gi]
             n = self._group_n(gi)
             r = meta.num_residuals
-            acc = jnp.zeros(n * r, self._dtype())
-            nc = _nchunks(n)
-            chunk = min(n, CHUNK)
-
+            acc = jnp.zeros((r, n), self._dtype())
             for vpos, pm, jac, tr in self._iter(gi):
                 if pm.t_cls < 0:
                     continue
                 t = pm.tangent_size
-                table = vt[pm.t_cls]
-
-                if n <= CHUNK:
-                    rows = jnp.take(table, tr, axis=0)
-                    jl = jac.reshape(n, r, t)
-                    acc = acc + jnp.einsum("nrt,nt->nr", jl, rows).reshape(-1)
-                    continue
-
-                def body(i, a, jac=jac, tr=tr, table=table, t=t):
-                    jl = jax.lax.dynamic_slice(
-                        jac, (i * chunk * r * t,), (chunk * r * t,)
-                    ).reshape(chunk, r, t)
-                    trl = jax.lax.dynamic_slice(tr, (i * chunk,), (chunk,))
-                    rows = jnp.take(table, trl, axis=0)
-                    term = jnp.einsum("nrt,nt->nr", jl, rows).reshape(-1)
-                    return jax.lax.dynamic_update_slice(
-                        a,
-                        jax.lax.dynamic_slice(a, (i * chunk * r,), (chunk * r,))
-                        + term,
-                        (i * chunk * r,),
-                    )
-
-                acc = jax.lax.fori_loop(0, nc, body, acc)
+                vg = gather_T(self.plan(gi, vpos), vt[pm.t_cls], tr)  # [t, n]
+                acc = acc + (jac.reshape(r, t, n) * vg[None]).sum(axis=1)
             out.append(acc)
         return out
 
     def left_multiply(self, u_groups):
-        """J^T u for per-group flat residuals u [n*r] -> [num_cols].
+        """J^T u for per-group residuals u [r, n] -> [num_cols].
 
         reference: BlockSparseMatrix::LeftMultiplyAndAccumulate; the
-        reference's atomicAdd becomes a deterministic segment-sum.
+        reference's atomicAdd becomes a deterministic reshape-sum / one-hot
+        matmul / segment-sum depending on the position's plan.
         """
-        acc = self._class_accumulators()
+        acc = self._class_tables_T()
         for gi in range(len(self.jac_groups)):
             meta = self.program.groups[gi]
             n = self._group_n(gi)
             r = meta.num_residuals
             u = u_groups[gi]
-            chunk = min(n, CHUNK)
-            nc = _nchunks(n)
-
             for vpos, pm, jac, tr in self._iter(gi):
                 if pm.t_cls < 0:
                     continue
                 t = pm.tangent_size
                 cnt = self.program.tangent_class_counts[pm.t_cls]
-
-                seg = self._seg_buckets(gi, vpos)
-                if seg is not None:
-                    table = jnp.zeros((cnt + 1, t), self._dtype())
-                    for (row_start, n_seg, d, out_row) in seg:
-                        jl = jax.lax.dynamic_slice(
-                            jac, (row_start * r * t,), (n_seg * d * r * t,)
-                        ).reshape(n_seg * d, r, t)
-                        ul = jax.lax.dynamic_slice(
-                            u, (row_start * r,), (n_seg * d * r,)
-                        ).reshape(n_seg * d, r)
-                        contrib = jnp.einsum("nrt,nr->nt", jl, ul)
-                        if d > 1:
-                            contrib = _window_sum(contrib, d)
-                        table = jax.lax.dynamic_update_slice(
-                            table, contrib, (out_row, 0)
-                        )
-                    acc[pm.t_cls] = acc[pm.t_cls] + table
-                    continue
-
-                if n <= CHUNK:
-                    jl = jac.reshape(n, r, t)
-                    contrib = jnp.einsum("nrt,nr->nt", jl, u.reshape(n, r))
-                    acc[pm.t_cls] = acc[pm.t_cls] + jax.ops.segment_sum(
-                        contrib, tr, num_segments=cnt + 1
-                    )
-                    continue
-
-                def body(i, a, jac=jac, tr=tr, t=t, cnt=cnt):
-                    jl = jax.lax.dynamic_slice(
-                        jac, (i * chunk * r * t,), (chunk * r * t,)
-                    ).reshape(chunk, r, t)
-                    ul = jax.lax.dynamic_slice(
-                        u, (i * chunk * r,), (chunk * r,)
-                    ).reshape(chunk, r)
-                    trl = jax.lax.dynamic_slice(tr, (i * chunk,), (chunk,))
-                    contrib = jnp.einsum("nrt,nr->nt", jl, ul)
-                    return a + jax.ops.segment_sum(
-                        contrib, trl, num_segments=cnt + 1
-                    )
-
-                acc[pm.t_cls] = jax.lax.fori_loop(0, nc, body, acc[pm.t_cls])
-        return self._psum(self._flatten_classes(acc))
+                contrib = (jac.reshape(r, t, n) * u[:, None, :]).sum(axis=0)
+                acc[pm.t_cls] = acc[pm.t_cls] + reduce_T(
+                    self.plan(gi, vpos), contrib, tr, cnt + 1
+                )
+        return self._psum(self._flatten_classes_T(acc))
 
     def jtj_multiply(self, v, dsq=None):
         """(J^T J + diag(dsq)) v — the CGNR/LM normal-equations operator.
@@ -312,93 +267,41 @@ class BlockJacobian:
 
     def squared_column_norms(self):
         """Per-tangent-column sum of squares (LM diagonal / Jacobi scaling)."""
-        acc = self._class_accumulators()
+        acc = self._class_tables_T()
         for gi in range(len(self.jac_groups)):
             meta = self.program.groups[gi]
             n = self._group_n(gi)
             r = meta.num_residuals
-            chunk = min(n, CHUNK)
-            nc = _nchunks(n)
             for vpos, pm, jac, tr in self._iter(gi):
                 if pm.t_cls < 0:
                     continue
                 t = pm.tangent_size
                 cnt = self.program.tangent_class_counts[pm.t_cls]
-
-                seg = self._seg_buckets(gi, vpos)
-                if seg is not None:
-                    table = jnp.zeros((cnt + 1, t), self._dtype())
-                    for (row_start, n_seg, d, out_row) in seg:
-                        jl = jax.lax.dynamic_slice(
-                            jac, (row_start * r * t,), (n_seg * d * r * t,)
-                        ).reshape(n_seg * d, r, t)
-                        contrib = jnp.sum(jl * jl, axis=1)
-                        if d > 1:
-                            contrib = _window_sum(contrib, d)
-                        table = jax.lax.dynamic_update_slice(
-                            table, contrib, (out_row, 0)
-                        )
-                    acc[pm.t_cls] = acc[pm.t_cls] + table
-                    continue
-
-                if n <= CHUNK:
-                    jl = jac.reshape(n, r, t)
-                    acc[pm.t_cls] = acc[pm.t_cls] + jax.ops.segment_sum(
-                        jnp.sum(jl * jl, axis=1), tr, num_segments=cnt + 1
-                    )
-                    continue
-
-                def body(i, a, jac=jac, tr=tr, t=t, cnt=cnt):
-                    jl = jax.lax.dynamic_slice(
-                        jac, (i * chunk * r * t,), (chunk * r * t,)
-                    ).reshape(chunk, r, t)
-                    trl = jax.lax.dynamic_slice(tr, (i * chunk,), (chunk,))
-                    return a + jax.ops.segment_sum(
-                        jnp.sum(jl * jl, axis=1), trl, num_segments=cnt + 1
-                    )
-
-                acc[pm.t_cls] = jax.lax.fori_loop(0, nc, body, acc[pm.t_cls])
-        return self._psum(self._flatten_classes(acc))
+                j3 = jac.reshape(r, t, n)
+                acc[pm.t_cls] = acc[pm.t_cls] + reduce_T(
+                    self.plan(gi, vpos), (j3 * j3).sum(axis=0), tr, cnt + 1
+                )
+        return self._psum(self._flatten_classes_T(acc))
 
     def scale_columns(self, scale):
         """Return a new BlockJacobian with tangent columns scaled by `scale`
-        (Jacobi scaling; reference: trust_region_minimizer.cc). Chunked so
-        the scaled copy is written flat (unpadded)."""
+        (Jacobi scaling; reference: trust_region_minimizer.cc)."""
         st = self._v_tables(scale)
         new_groups = []
         for gi in range(len(self.jac_groups)):
             meta = self.program.groups[gi]
             n = self._group_n(gi)
             r = meta.num_residuals
-            chunk = min(n, CHUNK)
-            nc = _nchunks(n)
             jacs = []
             for vpos, pm, jac, tr in self._iter(gi):
                 if pm.t_cls < 0:
                     jacs.append(jac)
                     continue
                 t = pm.tangent_size
-                table = st[pm.t_cls]
-
-                if n <= CHUNK:
-                    rows = jnp.take(table, tr, axis=0)
-                    jl = jac.reshape(n, r, t)
-                    jacs.append((jl * rows[:, None, :]).reshape(-1))
-                    continue
-
-                def body(i, a, jac=jac, tr=tr, table=table, t=t):
-                    jl = jax.lax.dynamic_slice(
-                        jac, (i * chunk * r * t,), (chunk * r * t,)
-                    ).reshape(chunk, r, t)
-                    trl = jax.lax.dynamic_slice(tr, (i * chunk,), (chunk,))
-                    rows = jnp.take(table, trl, axis=0)
-                    return jax.lax.dynamic_update_slice(
-                        a,
-                        (jl * rows[:, None, :]).reshape(-1),
-                        (i * chunk * r * t,),
-                    )
-
-                jacs.append(jax.lax.fori_loop(0, nc, body, jnp.zeros_like(jac)))
+                sg = gather_T(self.plan(gi, vpos), st[pm.t_cls], tr)  # [t, n]
+                jacs.append(
+                    (jac.reshape(r, t, n) * sg[None]).reshape(r * t, n)
+                )
             new_groups.append(tuple(jacs))
         return BlockJacobian(
             self.program,
@@ -413,14 +316,15 @@ class BlockJacobian:
     def block_diag_jtj(self, dsq=None, class_ids=None):
         """Per-parameter-block diagonal blocks of J^T J (+ diag(dsq)).
 
-        Returns a list over tangent classes of [count, s, s] batches — the
-        input of the JACOBI preconditioner and of (E^T E)^{-1} in implicit
-        Schur. reference: block_jacobi_preconditioner.cc.
+        Returns a list over tangent classes of TRANSPOSED [s*s, count]
+        tables (block (i,j) of class row c at [i*s+j, c]) — the input of the
+        JACOBI preconditioner and of (E^T E)^{-1} in implicit Schur.
+        reference: block_jacobi_preconditioner.cc.
         """
         p = self.program
         dtype = self._dtype()
         per_class = [
-            jnp.zeros((cnt + 1, s * s), dtype)
+            jnp.zeros((s * s, cnt + 1), dtype)
             for cnt, s in zip(p.tangent_class_counts, p.tangent_class_sizes)
         ]
         for gi in range(len(self.jac_groups)):
@@ -434,15 +338,10 @@ class BlockJacobian:
                     continue
                 cnt = p.tangent_class_counts[pm.t_cls]
                 t = pm.tangent_size
-
-                # NOTE: no bucketed path here. The [n, t, t] outer-product
-                # form measured pathological on TPU either way: the
-                # reduce_window variant compiles for 25+ min through the
-                # relay, and folding the degree-sum into a batched einsum
-                # runs 12x slower than segment_sum (tiny t x t matmuls
-                # don't tile the MXU). segment_sum stays the fast path.
-                per_class[pm.t_cls] = per_class[pm.t_cls] + segment_outer_flat(
-                    jac, tr, n, r, t, cnt + 1
+                j3 = jac.reshape(r, t, n)
+                outer = (j3[:, :, None, :] * j3[:, None, :, :]).sum(axis=0)
+                per_class[pm.t_cls] = per_class[pm.t_cls] + reduce_T(
+                    self.plan(gi, vpos), outer.reshape(t * t, n), tr, cnt + 1
                 )
         out = []
         if dsq is not None:
@@ -451,9 +350,10 @@ class BlockJacobian:
             dt = tangent_tables(p, dsq)
         for cls, acc in enumerate(per_class):
             s = p.tangent_class_sizes[cls]
-            acc = self._psum(acc[:-1]).reshape(-1, s, s)
+            acc = self._psum(acc[:, :-1])  # [s*s, cnt]
             if dsq is not None:
-                acc = acc + jax.vmap(jnp.diag)(dt[cls])
+                diag_rows = np.arange(s) * s + np.arange(s)
+                acc = acc.at[diag_rows, :].add(dt[cls].T)
             out.append(acc)
         return out
 
@@ -477,7 +377,7 @@ class BlockJacobian:
                 cnt = self.program.tangent_class_counts[pm.t_cls]
                 base = int(self.program.tangent_class_bases[pm.t_cls])
                 t = pm.tangent_size
-                jl = jac.reshape(n_arr, r, t)[:n]
+                jl = jnp.transpose(jac.reshape(r, t, n_arr), (2, 0, 1))[:n]
                 trl = tr[:n]
                 col0 = jnp.where(trl < cnt, base + trl * t, self.num_cols)
                 cols = col0[:, None, None] + jnp.arange(t)[None, None, :]
@@ -498,9 +398,13 @@ class BlockJacobian:
             for vpos, pm, jac, tr in self._iter(gi):
                 if pm.t_cls < 0:
                     continue
-                jl = np.asarray(jac).reshape(n_arr, r, pm.tangent_size)[:n]
-                trl = np.asarray(tr)[:n]
                 t = pm.tangent_size
+                jl = (
+                    np.asarray(jac)
+                    .reshape(r, t, n_arr)
+                    .transpose(2, 0, 1)[:n]
+                )
+                trl = np.asarray(tr)[:n]
                 cnt = self.program.tangent_class_counts[pm.t_cls]
                 base = int(self.program.tangent_class_bases[pm.t_cls])
                 cols = base + trl[:, None, None] * t + np.arange(t)[None, None, :]

@@ -115,11 +115,14 @@ class ExplicitSchurPlan:
     # ---------------- device assembly ---------------- #
 
     def assemble(self, jac_e, jac_f, ete_solver, ftf_cam):
-        """S block values [n_slots, tf, tf]: diag(F'F + dsq) - corrections."""
+        """S block values [n_slots, tf, tf]: diag(F'F + dsq) - corrections.
+
+        ftf_cam: transposed [tf*tf, n_cams] table (jacobian.py layout).
+        """
         tf, te = self.tf, self.te
         dtype = jac_f._dtype()
         acc = jnp.zeros((self.n_slots, tf * tf), dtype)
-        chol_e = ete_solver.factors[self.e_cls]
+        inv_e = ete_solver.inv_tables[self.e_cls]  # [te*te, cnt]
         for ch in self.chunks:
             gi, fv, d, r = ch["gi"], ch["fv"], ch["d"], ch["r"]
             n_pad = jac_f._group_n(gi)
@@ -133,21 +136,18 @@ class ExplicitSchurPlan:
                 m, d, r, tf
             )
             w = jnp.einsum("mdre,mdrf->mdef", ej, fj)
-            lch = jnp.take(chol_e, jnp.asarray(ch["pts"]), axis=0)
-            wt = w.transpose(0, 2, 1, 3).reshape(m, te, d * tf)
-            y = jax.lax.linalg.triangular_solve(
-                lch, wt, left_side=True, lower=True
+            # pair correction w_a^T M^{-1} w_b via the precomputed inverse
+            minv = jnp.take(inv_e.T, jnp.asarray(ch["pts"]), axis=0).reshape(
+                m, te, te
             )
-            y_pairs = (
-                y.reshape(m, te, d, tf).transpose(0, 2, 1, 3).reshape(
-                    m * d, te, tf
-                )
-            )
+            minvw = jnp.einsum("mab,mdbf->mdaf", minv, w)
+            y_pairs = w.reshape(m * d, te, tf)
+            z_pairs = minvw.reshape(m * d, te, tf)
             sa, sb, slot = ch["src_a"], ch["src_b"], ch["slot"]
             for p0 in range(0, sa.size, PAIR_CHUNK):
                 sl = slice(p0, p0 + PAIR_CHUNK)
                 ya = jnp.take(y_pairs, jnp.asarray(sa[sl]), axis=0)
-                yb = jnp.take(y_pairs, jnp.asarray(sb[sl]), axis=0)
+                yb = jnp.take(z_pairs, jnp.asarray(sb[sl]), axis=0)
                 blocks = jnp.einsum("pet,peu->ptu", ya, yb).reshape(
                     -1, tf * tf
                 )
@@ -155,7 +155,9 @@ class ExplicitSchurPlan:
                     blocks, jnp.asarray(slot[sl]), num_segments=self.n_slots
                 )
         s_blocks = (-acc).reshape(self.n_slots, tf, tf)
-        s_blocks = s_blocks.at[jnp.asarray(self.diag_slots)].add(ftf_cam)
+        s_blocks = s_blocks.at[jnp.asarray(self.diag_slots)].add(
+            ftf_cam.T.reshape(-1, tf, tf)
+        )
         return s_blocks
 
     # ---------------- host factor + solve ---------------- #

@@ -2,10 +2,14 @@
 
 reference: IDENTITY / JACOBI (block_jacobi_preconditioner.cc), SCHUR_JACOBI
 (schur_jacobi_preconditioner.cc), SCHUR_POWER_SERIES_EXPANSION
-(power_series_expansion_preconditioner.cc). The TPU shape: every
-block-diagonal operator is a batched [count, s, s] Cholesky factorization
-per tangent-size class + batched triangular solves — MXU/VPU-friendly
-small-batch linear algebra (SURVEY.md §7 translation table).
+(power_series_expansion_preconditioner.cc). The TPU shape: block-diagonal
+operators live as TRANSPOSED per-class tables [s*s, count] (see
+jacobian.py's layout rationale); applying M^{-1} is a python-unrolled set of
+multiply-adds over [count]-wide rows — perfect VPU lane utilization, no
+[count, s, s] tile padding (a row-major [1M, 3, 3] batch would cost 42x its
+logical size). Blocks of size <= 3 invert in closed form; larger classes
+(e.g. 9x9 camera blocks, of which there are few) go through one batched
+Cholesky inverse at build time.
 """
 
 from __future__ import annotations
@@ -14,59 +18,110 @@ from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def identity_preconditioner():
     return lambda r: r
 
 
-class BlockDiagSolver:
-    """Factorized block-diagonal operator over tangent-size classes.
+def _inverse_T(table, s, eps_scale=1e-14):
+    """Invert SPD blocks stored transposed: [s*s, cnt] -> [s*s, cnt].
 
-    Given per-class batches of SPD blocks [count, s, s], applies M^{-1} to
-    the matching segments of a full tangent vector (other entries pass
-    through a zero-block ridge as 0 -> 0). Shared by the Jacobi
-    preconditioner and the (E'E)^{-1} inner solve of implicit Schur
+    A tiny ridge keeps all-zero blocks (e.g. f-blocks sharing an e-class)
+    finite; 0 -> 0 under the solve.
+    """
+    cnt = table.shape[1]
+    eps = eps_scale * jnp.maximum(1.0, jnp.max(jnp.abs(table), axis=0)) + 1e-300
+    diag_rows = np.arange(s) * s + np.arange(s)
+    a = table.at[diag_rows, :].add(eps[None, :])
+
+    def e(i, j):
+        return a[i * s + j]
+
+    if s == 1:
+        return 1.0 / a
+    if s == 2:
+        det = e(0, 0) * e(1, 1) - e(0, 1) * e(1, 0)
+        det = jnp.where(det != 0, det, 1.0)
+        return jnp.stack([e(1, 1), -e(0, 1), -e(1, 0), e(0, 0)]) / det
+    if s == 3:
+        c00 = e(1, 1) * e(2, 2) - e(1, 2) * e(2, 1)
+        c01 = e(0, 2) * e(2, 1) - e(0, 1) * e(2, 2)
+        c02 = e(0, 1) * e(1, 2) - e(0, 2) * e(1, 1)
+        c10 = e(1, 2) * e(2, 0) - e(1, 0) * e(2, 2)
+        c11 = e(0, 0) * e(2, 2) - e(0, 2) * e(2, 0)
+        c12 = e(0, 2) * e(1, 0) - e(0, 0) * e(1, 2)
+        c20 = e(1, 0) * e(2, 1) - e(1, 1) * e(2, 0)
+        c21 = e(0, 1) * e(2, 0) - e(0, 0) * e(2, 1)
+        c22 = e(0, 0) * e(1, 1) - e(0, 1) * e(1, 0)
+        det = e(0, 0) * c00 + e(0, 1) * c10 + e(0, 2) * c20
+        det = jnp.where(det != 0, det, 1.0)
+        return jnp.stack([c00, c01, c02, c10, c11, c12, c20, c21, c22]) / det
+    # general case: batched Cholesky inverse (classes this large are small
+    # in count — e.g. 1778 9x9 camera blocks)
+    rows = table.T.reshape(cnt, s, s)
+    rows = rows + eps[:, None, None] * jnp.eye(s, dtype=table.dtype)
+    chol = jnp.linalg.cholesky(rows)
+    inv = jax.vmap(
+        lambda c: jax.scipy.linalg.cho_solve(
+            (c, True), jnp.eye(s, dtype=table.dtype)
+        )
+    )(chol)
+    return inv.reshape(cnt, s * s).T
+
+
+def apply_block_T(inv_table, vt, s):
+    """Apply per-block [s, s] matrices (transposed table [s*s, cnt]) to
+    per-block vectors vt [s, cnt] -> [s, cnt]."""
+    return jnp.stack(
+        [
+            sum(inv_table[i * s + j] * vt[j] for j in range(s))
+            for i in range(s)
+        ]
+    )
+
+
+class BlockDiagSolver:
+    """Inverted block-diagonal operator over tangent-size classes.
+
+    Input: per-class TRANSPOSED SPD block tables [s*s, count] (as produced
+    by BlockJacobian.block_diag_jtj). Applies M^{-1} to the matching
+    segments of a full tangent vector. Shared by the Jacobi preconditioner
+    and the (E'E)^{-1} inner solve of implicit Schur
     (implicit_schur_complement.cc block_diagonal_EtE_inverse_).
     """
 
-    def __init__(self, program, blocks_per_class, only_classes=None):
+    def __init__(self, program, tables_per_class, only_classes=None):
         self.program = program
-        self.factors = {}
-        for cls, b in enumerate(blocks_per_class):
+        self.inv_tables = {}
+        for cls, table in enumerate(tables_per_class):
+            if table is None:
+                continue
             if only_classes is not None and cls not in only_classes:
                 continue
             s = program.tangent_class_sizes[cls]
-            # Tiny ridge: keeps all-zero blocks (e.g. f-blocks sharing an
-            # e-class) finite; 0 -> 0 under the solve.
-            eps = 1e-14 * jnp.maximum(
-                1.0, jnp.max(jnp.abs(b), axis=(1, 2), keepdims=True)
-            ) + 1e-300
-            b = b + eps * jnp.eye(s, dtype=b.dtype)
-            self.factors[cls] = jnp.linalg.cholesky(b)
+            self.inv_tables[cls] = _inverse_T(table, s)
 
     @property
     def classes(self):
-        return sorted(self.factors.keys())
+        return sorted(self.inv_tables.keys())
 
     def __call__(self, r):
-        """Apply M^{-1}: per-class reshape -> batched cho_solve -> reassemble
-        (the class-contiguous layout makes this scatter-free)."""
+        """Apply M^{-1}: per-class transpose -> unrolled block matvec ->
+        reassemble (the class-contiguous layout makes this scatter-free)."""
         from ..evaluator import tangent_tables
 
         tables = tangent_tables(self.program, r)
         out = []
         for cls, seg in enumerate(tables):
-            chol = self.factors.get(cls)
-            if chol is None:
-                out.append(seg)
+            inv = self.inv_tables.get(cls)
+            if inv is None:
+                out.append(seg.reshape(-1))
             else:
-                out.append(
-                    jax.vmap(
-                        lambda c, v: jax.scipy.linalg.cho_solve((c, True), v)
-                    )(chol, seg)
-                )
-        return jnp.concatenate([t.reshape(-1) for t in out])
+                s = self.program.tangent_class_sizes[cls]
+                out.append(apply_block_T(inv, seg.T, s).T.reshape(-1))
+        return jnp.concatenate(out)
 
 
 class BlockJacobiPreconditioner:
@@ -76,8 +131,8 @@ class BlockJacobiPreconditioner:
     """
 
     def __init__(self, program, jac, dsq=None):
-        blocks = jac.block_diag_jtj(dsq=dsq)
-        self._solver = BlockDiagSolver(program, blocks)
+        tables = jac.block_diag_jtj(dsq=dsq)
+        self._solver = BlockDiagSolver(program, tables)
 
     def __call__(self, r):
         return self._solver(r)

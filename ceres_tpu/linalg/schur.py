@@ -67,21 +67,32 @@ def schur_jacobi_blocks(program, jac_e, jac_f, ete_solver, dsq_f):
     quality, like the reference's clustered approximations).
     reference: schur_jacobi_preconditioner.cc via schur_eliminator's
     chunk-diagonal assembly.
+
+    Returns per-class transposed tables [s*s, count] (jacobian.py layout).
     """
+    from ..jacobian import gather_T, reduce_T
+
     program = jac_f.program
-    ftf = jac_f.block_diag_jtj(dsq=dsq_f)  # list per class [count, s, s]
+    ftf = jac_f.block_diag_jtj(dsq=dsq_f)  # per class [s*s, count]
     # correction per group: F^T E M^{-1} E^T F for each residual block, then
-    # segment-sum into the f-block diagonal.
-    corrections = [jnp.zeros((b.shape[0] + 1, *b.shape[1:]), b.dtype) for b in ftf]
+    # a plan-reduce into the f-block diagonal.
+    corrections = [jnp.zeros_like(b) for b in ftf]
     for gi in range(len(jac_f.jac_groups)):
         if not jac_e.jac_groups[gi]:
             continue
         meta = program.groups[gi]
         n = jac_f._group_n(gi)
         r = meta.num_residuals
-        e_jac = jac_e.jac_groups[gi][0]  # flat [n*r*te]; one e-position/group
-        e_tr = jac_e.t_rows[gi][0]  # [n] rows in the e-class
         e_pm = meta.positions[jac_e.positions[gi][0]]
+        te = e_pm.tangent_size
+        # per-observation M^{-1}: gather inverse blocks by e-class row
+        # ([te*te, n]; a slice+broadcast under the owner bucket plan)
+        minv = gather_T(
+            jac_e.plan(gi, 0),
+            ete_solver.inv_tables[e_pm.t_cls].T,
+            jac_e.t_rows[gi][0],
+        ).reshape(te, te, n)
+        ej = jac_e.jac_groups[gi][0].reshape(r, te, n)
         for vpos, (f_jac, f_tr) in enumerate(
             zip(jac_f.jac_groups[gi], jac_f.t_rows[gi])
         ):
@@ -90,76 +101,23 @@ def schur_jacobi_blocks(program, jac_e, jac_f, ete_solver, dsq_f):
                 continue
             cnt = program.tangent_class_counts[pm.t_cls]
             tf = pm.tangent_size
-            flat = _chunked_correction(
-                ete_solver,
-                e_pm.t_cls,
-                e_jac,
-                e_tr,
-                f_jac,
-                f_tr,
-                n,
-                r,
-                e_pm.tangent_size,
-                tf,
-                cnt + 1,
+            fj = f_jac.reshape(r, tf, n)
+            # etf[e, f] = sum_r E[r, e] F[r, f]
+            etf = (ej[:, :, None, :] * fj[:, None, :, :]).sum(axis=0)
+            # minvetf[a, f] = sum_b M^{-1}[a, b] etf[b, f]
+            minvetf = (minv[:, :, None, :] * etf[None, :, :, :]).sum(axis=1)
+            # corr[p, q] = sum_a etf[a, p] minvetf[a, q]
+            corr = (etf[:, :, None, :] * minvetf[:, None, :, :]).sum(axis=0)
+            table = reduce_T(
+                jac_f.plan(gi, vpos), corr.reshape(tf * tf, n), f_tr, cnt + 1
             )
-            corrections[pm.t_cls] = corrections[pm.t_cls] + flat.reshape(
-                cnt + 1, tf, tf
-            )
+            corrections[pm.t_cls] = corrections[pm.t_cls] + table[:, :-1]
     out = []
     for cls in range(len(ftf)):
         # corrections are shard-local partial sums; ftf was already psummed
         # inside block_diag_jtj.
-        out.append(ftf[cls] - jac_f._psum(corrections[cls][:-1]))
+        out.append(ftf[cls] - jac_f._psum(corrections[cls]))
     return out
-
-
-def _apply_ete_rows(ete_solver, e_cls, e_rows, etf):
-    """Apply M^{-1} (factorized per e-block) to per-row [te, tf] matrices:
-    fetch each row's Cholesky factor by its class row index (a row take)."""
-    chol = jnp.take(ete_solver.factors[e_cls], e_rows, axis=0)  # [n, te, te]
-    return jax.vmap(lambda c, m: jax.scipy.linalg.cho_solve((c, True), m))(chol, etf)
-
-
-def _chunked_correction(
-    ete_solver, e_cls, e_jac, e_tr, f_jac, f_tr, n, r, te, tf, num_segments,
-    chunk: int = 131_072,
-):
-    """segment_sum over f-blocks of F^T E M^{-1} E^T F per residual block.
-
-    e_jac/f_jac are flat [n*r*t]; computed chunk-wise with flattened
-    [chunk, tf*tf] accumulation (a full [n, tf, tf] would be TPU-tile-padded
-    ~32x and OOM at BA scale)."""
-
-    def corr_chunk(ej, fj, etr):
-        etf = jnp.einsum("nre,nrf->nef", ej, fj)  # [c, te, tf]
-        minv = _apply_ete_rows(ete_solver, e_cls, etr, etf)
-        return jnp.einsum("nef,neg->nfg", minv, etf).reshape(-1, tf * tf)
-
-    if n <= chunk:
-        return jax.ops.segment_sum(
-            corr_chunk(e_jac.reshape(n, r, te), f_jac.reshape(n, r, tf), e_tr),
-            f_tr,
-            num_segments=num_segments,
-        )
-
-    nchunks = -(-n // chunk)
-
-    def body(i, acc):
-        ej = jax.lax.dynamic_slice(
-            e_jac, (i * chunk * r * te,), (chunk * r * te,)
-        ).reshape(chunk, r, te)
-        fj = jax.lax.dynamic_slice(
-            f_jac, (i * chunk * r * tf,), (chunk * r * tf,)
-        ).reshape(chunk, r, tf)
-        etr = jax.lax.dynamic_slice(e_tr, (i * chunk,), (chunk,))
-        ftr = jax.lax.dynamic_slice(f_tr, (i * chunk,), (chunk,))
-        return acc + jax.ops.segment_sum(
-            corr_chunk(ej, fj, etr), ftr, num_segments=num_segments
-        )
-
-    init = jnp.zeros((num_segments, tf * tf), e_jac.dtype)
-    return jax.lax.fori_loop(0, nchunks, body, init)
 
 
 def schur_solve(program, options, jac_s, res_groups, grad_s, dsq):

@@ -517,19 +517,19 @@ class _AssemblyPlan:
 # --------------------------------------------------------------------- #
 
 
-def _gather_rows(flat, n_pad, width, idx):
-    """Rows of a flat [n_pad*width] group tensor by host index array."""
-    mat = flat.reshape(n_pad, width)
+def _gather_rows(jac2d, n_pad, width, idx):
+    """Per-observation blocks of a transposed [width, n_pad] group tensor by
+    host index array: returns [*idx.shape, width]."""
     idx = np.asarray(idx)
     flat_idx = idx.reshape(-1)
     # contiguous ranges lower to a slice instead of a gather
     if flat_idx.size and np.all(np.diff(flat_idx) == 1):
         out = jax.lax.dynamic_slice(
-            mat, (int(flat_idx[0]), 0), (flat_idx.size, width)
+            jac2d, (0, int(flat_idx[0])), (width, flat_idx.size)
         )
     else:
-        out = jnp.take(mat, jnp.asarray(flat_idx), axis=0)
-    return out.reshape(*idx.shape, width)
+        out = jnp.take(jac2d, jnp.asarray(flat_idx), axis=1)
+    return out.T.reshape(*idx.shape, width)
 
 
 class VisibilityPreconditioner:
@@ -578,7 +578,7 @@ class VisibilityPreconditioner:
             acc[("edge", 0)] = jnp.zeros(
                 (plan.n_clusters * plan.L * plan.L, tf * tf), dtype
             )
-        chol_e = ete_solver.factors[plan.e_cls]
+        inv_e = ete_solver.inv_tables[plan.e_cls]  # [te*te, cnt]
 
         for ch in plan.chunks:
             gi, fv, d, r = ch["gi"], ch["fv"], ch["d"], ch["r"]
@@ -593,21 +593,18 @@ class VisibilityPreconditioner:
                 m, d, r, tf
             )
             w = jnp.einsum("mdre,mdrf->mdef", ej, fj)  # [m,d,te,tf]
-            lch = jnp.take(chol_e, jnp.asarray(ch["pts"]), axis=0)
-            wt = w.transpose(0, 2, 1, 3).reshape(m, te, d * tf)
-            y = jax.lax.linalg.triangular_solve(
-                lch, wt, left_side=True, lower=True
+            # pair correction w_a^T M^{-1} w_b via the precomputed inverse
+            minv = jnp.take(inv_e.T, jnp.asarray(ch["pts"]), axis=0).reshape(
+                m, te, te
             )
-            y_pairs = (
-                y.reshape(m, te, d, tf).transpose(0, 2, 1, 3).reshape(
-                    m * d, te, tf
-                )
-            )
+            minvw = jnp.einsum("mab,mdbf->mdaf", minv, w)
+            y_pairs = w.reshape(m * d, te, tf)
+            z_pairs = minvw.reshape(m * d, te, tf)
             for dest, (sa, sb, key) in ch["routes"].items():
                 for p0 in range(0, sa.size, PAIR_CHUNK):
                     sl = slice(p0, p0 + PAIR_CHUNK)
                     ya = jnp.take(y_pairs, jnp.asarray(sa[sl]), axis=0)
-                    yb = jnp.take(y_pairs, jnp.asarray(sb[sl]), axis=0)
+                    yb = jnp.take(z_pairs, jnp.asarray(sb[sl]), axis=0)
                     blocks = jnp.einsum("pet,peu->ptu", ya, yb).reshape(
                         -1, tf * tf
                     )
@@ -661,7 +658,8 @@ class VisibilityPreconditioner:
         plan = self.plan
         corr = self._corrections(jac_e, jac_f, ete_solver)
         ftf = jac_f.block_diag_jtj(dsq=dsq_f)
-        ftf_cam = ftf[plan.cam_cls]
+        # [tf*tf, count] transposed table -> [count, tf, tf] block rows
+        ftf_cam = ftf[plan.cam_cls].T.reshape(-1, plan.tf, plan.tf)
         dense = self._dense_buckets(corr, ftf_cam)
 
         if plan.chain_next is None:

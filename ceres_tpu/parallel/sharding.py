@@ -48,16 +48,10 @@ def build_sharded_arrays(program, mesh: Mesh, axis: str, dtype=None):
     ndev = mesh.shape[axis]
     num_eff = program.num_effective_parameters
 
-    from ..jacobian import CHUNK
-
     groups = []
     for meta, idx in zip(program.groups, program.group_idx):
         n = meta.n
-        # shard-local row counts must be <= CHUNK or a CHUNK multiple so the
-        # chunked Jacobian products need no remainder handling
         per = -(-n // ndev)
-        if per > CHUNK:
-            per = -(-per // CHUNK) * CHUNK
         target = per * ndev
         t_rows_padded = []
         for pos, pm in enumerate(meta.positions):
@@ -141,9 +135,9 @@ def arrays_pspecs(program, arrays, axis: str):
 
 def jac_pspecs(program, axis: str):
     """PartitionSpec pytree for a BlockJacobian produced under sharding
-    (leaves are flat 1-D [n*r*t] arrays, sharded on the row axis)."""
+    (leaves are transposed [r*t, n] arrays, sharded on the lane axis)."""
     jac_groups = tuple(
-        tuple(P(axis) for _ in meta.positions) for meta in program.groups
+        tuple(P(None, axis) for _ in meta.positions) for meta in program.groups
     )
     t_rows = tuple(
         tuple(P(axis) for _ in meta.positions) for meta in program.groups
@@ -152,8 +146,8 @@ def jac_pspecs(program, axis: str):
 
 
 def res_groups_pspecs(program, axis: str):
-    # per-group flat [n*r] residuals, sharded on the (flattened) row axis
-    return [P(axis) for _ in program.groups]
+    # per-group [r, n] residuals, sharded on the lane (observation) axis
+    return [P(None, axis) for _ in program.groups]
 
 
 class ShardedEvaluator(Evaluator):

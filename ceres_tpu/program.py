@@ -54,10 +54,21 @@ class SigGroupMeta:
     positions: tuple
     n: int
     row_offset: int
-    # {position: tuple of (row_start, n_seg, degree, out_row_start)} for the
-    # scatter-free bucketed reduction (rows sorted by that position's class
-    # row; None/absent -> segment_sum fallback)
-    seg_reduce: Optional[dict] = None
+    # {position: plan} where plan is one of
+    #   ("bucket", buckets): rows laid out in the interleaved bucket order of
+    #       this position's class rows — gathers become slice+broadcast and
+    #       reductions become reshape+sum (no gather/scatter at all). buckets
+    #       is a tuple of (lane_start, n_seg, degree, out_row): lanes
+    #       [lane_start + j*n_seg + e] hold observation j of class row
+    #       out_row + e.
+    #   ("onehot",): reduction as a one-hot matmul on the MXU (small class).
+    #   ("segsum",): generic segment-sum / take fallback.
+    red_plans: Optional[dict] = None
+    # position that owns the row ordering (has the "bucket" plan), or -1
+    owner: int = -1
+    # True when the owner position's ambient class rows equal its tangent
+    # class rows (so state gathers can use the bucket plan too)
+    owner_ambient_aligned: bool = False
 
     @property
     def num_residuals(self) -> int:
@@ -80,6 +91,9 @@ class Program:
     # groups at least this large get the scatter-free bucketed reduction
     SEG_REDUCE_THRESHOLD = 32_768
     MAX_SEG_BUCKETS = 512
+    # max one-hot matmul width for small-class reductions (cost is
+    # k * cnt * n MACs on the MXU; beyond this segment_sum wins)
+    ONEHOT_MAX_COLS = 4096
 
     def __init__(self, blocks, batches, evaluation_callback=None):
         self._blocks = blocks
@@ -164,40 +178,13 @@ class Program:
         self.t_offsets = np.zeros(nb, dtype=np.int64)
         self.sizes = np.zeros(nb, dtype=np.int64)
         self.tangent_sizes = np.zeros(nb, dtype=np.int64)
-
-        # ambient classes: key = ambient size, over all live blocks
-        self.ambient_class_sizes = sorted(
-            {b.size for b in blocks if not b.removed}
-        )
-        self.ambient_class_of_size = {
-            s: i for i, s in enumerate(self.ambient_class_sizes)
-        }
-        self.a_class = np.full(nb, -1, dtype=np.int64)
-        self.a_row = np.full(nb, -1, dtype=np.int64)
-        a_counts = [0] * len(self.ambient_class_sizes)
         for b in blocks:
             if b.removed:
                 continue
-            c = self.ambient_class_of_size[b.size]
-            self.a_class[b.index] = c
-            self.a_row[b.index] = a_counts[c]
-            a_counts[c] += 1
-        self.ambient_class_counts = a_counts
-        self.ambient_class_bases = np.concatenate(
-            [[0], np.cumsum([c * s for c, s in zip(a_counts, self.ambient_class_sizes)])]
-        ).astype(np.int64)
-        for b in blocks:
-            if b.removed:
-                continue
-            c = int(self.a_class[b.index])
-            self.x_offsets[b.index] = (
-                self.ambient_class_bases[c] + self.a_row[b.index] * b.size
-            )
             self.sizes[b.index] = b.size
             self.tangent_sizes[b.index] = b.tangent_size
-        self.num_parameters = int(self.ambient_class_bases[-1])
 
-        # tangent classes: key = tangent size, over free blocks
+        # tangent classes first: key = tangent size, over free blocks
         self.tangent_class_sizes = sorted(
             {b.tangent_size for b in blocks if not b.removed and not b.constant}
         )
@@ -217,6 +204,60 @@ class Program:
             self.t_row[i] = t_counts[c]
             t_counts[c] += 1
         self.tangent_class_counts = t_counts
+
+        # ambient classes: key = ambient size, over all live blocks. Where an
+        # ambient class consists entirely of free blocks of one tangent
+        # class, its rows are ALIGNED to the tangent class rows so the same
+        # bucket layout serves state gathers and tangent reductions.
+        self.ambient_class_sizes = sorted(
+            {b.size for b in blocks if not b.removed}
+        )
+        self.ambient_class_of_size = {
+            s: i for i, s in enumerate(self.ambient_class_sizes)
+        }
+        self.a_class = np.full(nb, -1, dtype=np.int64)
+        self.a_row = np.full(nb, -1, dtype=np.int64)
+        a_counts = [0] * len(self.ambient_class_sizes)
+        members_per_aclass: list[list[int]] = [
+            [] for _ in self.ambient_class_sizes
+        ]
+        for b in blocks:
+            if b.removed:
+                continue
+            c = self.ambient_class_of_size[b.size]
+            self.a_class[b.index] = c
+            members_per_aclass[c].append(b.index)
+        self.ambient_aligned = [False] * len(self.ambient_class_sizes)
+        for c, members in enumerate(members_per_aclass):
+            a_counts[c] = len(members)
+            t_cls = {int(self.t_class[i]) for i in members}
+            if (
+                members
+                and -1 not in t_cls
+                and len(t_cls) == 1
+                # bijection: the tangent class must consist of exactly this
+                # ambient class's blocks (another ambient class could share
+                # the same tangent size, e.g. via a manifold)
+                and self.tangent_class_counts[next(iter(t_cls))] == len(members)
+            ):
+                self.ambient_aligned[c] = True
+                for i in members:
+                    self.a_row[i] = self.t_row[i]
+            else:
+                for r, i in enumerate(members):
+                    self.a_row[i] = r
+        self.ambient_class_counts = a_counts
+        self.ambient_class_bases = np.concatenate(
+            [[0], np.cumsum([c * s for c, s in zip(a_counts, self.ambient_class_sizes)])]
+        ).astype(np.int64)
+        for b in blocks:
+            if b.removed:
+                continue
+            c = int(self.a_class[b.index])
+            self.x_offsets[b.index] = (
+                self.ambient_class_bases[c] + self.a_row[b.index] * b.size
+            )
+        self.num_parameters = int(self.ambient_class_bases[-1])
         self.tangent_class_bases = np.concatenate(
             [[0], np.cumsum([c * s for c, s in zip(t_counts, self.tangent_class_sizes)])]
         ).astype(np.int64)
@@ -445,12 +486,20 @@ class Program:
                 row_offset=row_offset,
             )
 
-            # ---- scatter-free reduction layout (large groups) ----
-            # Sort rows by the reduce position's class row; with classes in
-            # (degree, id) order this yields contiguous equal-degree runs, so
-            # J^T-side reductions become reshape+sum per run with contiguous
-            # output rows (meta.seg_reduce) — no scatter.
+            # ---- gather/scatter-free layout plans (large groups) ----
+            # The position with the largest class ("owner", e.g. BA points)
+            # dictates the row order: rows sorted by its class row, then
+            # INTERLEAVED within each equal-degree bucket so that observation
+            # j of class row (out_row + e) sits at lane (lane_start +
+            # j*n_seg + e). In the transposed [k, n] layout this makes the
+            # owner's gathers a slice+broadcast and its reductions a
+            # reshape+sum over the second-minor axis — no gather/scatter.
+            # Small classes (e.g. BA cameras) reduce via a one-hot matmul on
+            # the MXU (~9 ms for 5M rows -> 1778 blocks vs ~230 ms for XLA
+            # scatter). Everything else falls back to segment_sum.
             perm = None
+            plans: dict = {}
+            owner = -1
             if n >= self.SEG_REDUCE_THRESHOLD:
                 candidates = [
                     (self.tangent_class_counts[pm.t_cls], pos)
@@ -462,14 +511,36 @@ class Program:
                     _, rpos = max(candidates)
                     rows_of = self.t_row[pid[:, rpos]]
                     perm = np.argsort(rows_of, kind="stable")
+                    buckets = self._seg_buckets(rows_of[perm])
+                    if buckets is not None:
+                        ileave = np.empty(n, dtype=np.int64)
+                        for (lane_start, n_seg, d, _out) in buckets:
+                            blockidx = np.arange(
+                                lane_start, lane_start + n_seg * d
+                            ).reshape(n_seg, d)
+                            ileave[lane_start : lane_start + n_seg * d] = (
+                                blockidx.T.reshape(-1)
+                            )
+                        perm = perm[ileave]
+                        owner = rpos
+                        plans[rpos] = ("bucket", buckets)
                     pid = pid[perm]
                     data = tuple(d[perm] for d in data)
                     a_rows = [a[perm] for a in a_rows]
                     t_rows = [t[perm] for t in t_rows]
                     block_ids = [b[perm] for b in block_ids]
-                    buckets = self._seg_buckets(t_rows[rpos])
-                    if buckets is not None:
-                        meta.seg_reduce = {rpos: buckets}
+                for pos, pm in enumerate(positions):
+                    if pos in plans or pm.t_cls < 0:
+                        continue
+                    cnt = self.tangent_class_counts[pm.t_cls]
+                    if cnt + 1 <= self.ONEHOT_MAX_COLS:
+                        plans[pos] = ("onehot",)
+            meta.red_plans = plans
+            meta.owner = owner
+            if owner >= 0:
+                meta.owner_ambient_aligned = bool(
+                    np.array_equal(a_rows[owner], t_rows[owner])
+                )
             self.groups.append(meta)
             self.group_idx.append(
                 {
@@ -500,19 +571,17 @@ class Program:
     def _seg_buckets(self, sorted_rows: np.ndarray):
         """Bucket decomposition of a class-row-sorted row array.
 
-        Returns tuple of (row_start, n_seg, degree, out_row_start) covering
+        Returns tuple of (lane_start, n_seg, degree, out_row_start) covering
         all rows, where each bucket is n_seg consecutive class rows (starting
-        at out_row_start) each with exactly `degree` rows — so the reduction
-        is reshape(n_seg, degree, k).sum(1) written at out_row_start. Returns
-        None when the decomposition fragments (> MAX_SEG_BUCKETS) or rows of
-        one block are non-contiguous (shouldn't happen after sorting).
+        at out_row_start) each with exactly `degree` rows. With the
+        interleaved lane order (see _build_groups) the reduction over a
+        bucket is reshape(k, degree, n_seg).sum(1) written at column
+        out_row_start. Returns None when the decomposition fragments
+        (> MAX_SEG_BUCKETS).
         """
-        from .jacobian import CHUNK
-
         uniq, starts, counts = np.unique(
             sorted_rows, return_index=True, return_counts=True
         )
-        # blocks must be consecutive class rows for contiguous output
         buckets = []
         i = 0
         m = len(uniq)
@@ -525,18 +594,7 @@ class Program:
                 and uniq[j] == uniq[j - 1] + 1
             ):
                 j += 1
-            d = int(counts[i])
-            n_seg = j - i
-            row_start = int(starts[i])
-            out_row = int(uniq[i])
-            # sub-chunk so one bucket never exceeds CHUNK rows (the d>1
-            # reduce is a 2-D reduce_window, so no extra n_seg cap needed)
-            max_seg = max(1, CHUNK // max(d, 1))
-            k = 0
-            while k < n_seg:
-                take = min(max_seg, n_seg - k)
-                buckets.append((row_start + k * d, take, d, out_row + k))
-                k += take
+            buckets.append((int(starts[i]), j - i, int(counts[i]), int(uniq[i])))
             i = j
         if len(buckets) > self.MAX_SEG_BUCKETS:
             return None
@@ -659,52 +717,24 @@ class Program:
     # ------------------------------------------------------------------ #
 
     def arrays(self, dtype=None):
-        """Materialize the jnp pytree consumed by the evaluator.
-
-        Groups larger than the streaming chunk are padded to a chunk
-        multiple with masked rows so the chunked Jacobian products
-        (jacobian.py) never need remainder handling."""
+        """Materialize the jnp pytree consumed by the evaluator."""
         import jax.numpy as jnp
 
-        from .jacobian import CHUNK
         from .utils.dtypes import default_dtype
 
         dtype = dtype or default_dtype()
         groups = []
         for meta, idx in zip(self.groups, self.group_idx):
-            n = meta.n
-            target = n if n <= CHUNK else -(-n // CHUNK) * CHUNK
-            pad = target - n
-
-            def pad_rows(a, value):
-                a = np.asarray(a)
-                if pad == 0:
-                    return a
-                fill = np.full((pad,) + a.shape[1:], value, dtype=a.dtype)
-                return np.concatenate([a, fill], axis=0)
-
-            t_rows = []
-            for pos, pm in enumerate(meta.positions):
-                dump = (
-                    self.tangent_class_counts[pm.t_cls] if pm.t_cls >= 0 else 0
-                )
-                t_rows.append(jnp.asarray(pad_rows(idx["t_rows"][pos], dump)))
             g = {
-                "a_rows": tuple(
-                    jnp.asarray(pad_rows(a, 0)) for a in idx["a_rows"]
-                ),
-                "t_rows": tuple(t_rows),
+                "a_rows": tuple(jnp.asarray(a) for a in idx["a_rows"]),
+                "t_rows": tuple(jnp.asarray(t) for t in idx["t_rows"]),
                 "data": tuple(
-                    jnp.asarray(pad_rows(d, 0), dtype=dtype)
+                    jnp.asarray(d, dtype=dtype)
                     if np.issubdtype(np.asarray(d).dtype, np.floating)
-                    else jnp.asarray(pad_rows(d, 0))
+                    else jnp.asarray(d)
                     for d in idx["data"]
                 ),
             }
-            if pad:
-                g["mask"] = jnp.asarray(
-                    np.concatenate([np.ones(n), np.zeros(pad)]), dtype=dtype
-                )
             groups.append(g)
         arrays = {
             "groups": groups,

@@ -86,20 +86,24 @@ def make_inner_iteration_fn(program, options, axis_name=None):
     e_mask_np, _ = program.schur_tangent_masks()
     e_mask_np = np.asarray(e_mask_np)
 
+    import numpy as _np
+
     def sweep(arrays, state, damping):
         from ..evaluator import state_tables
+        from ..jacobian import reduce_T
+        from ..linalg.preconditioners import _inverse_T, apply_block_T
 
         dtype = state.dtype
         state_2d = state_tables(program, state)
+        # transposed accumulators [s*s, cnt+1] / [s, cnt+1] (jacobian.py layout)
         per_class_jtj = {
             c: jnp.zeros(
-                (program.class_counts[c] + 1, program.class_tsizes[c], program.class_tsizes[c]),
-                dtype,
+                (program.class_tsizes[c] ** 2, program.class_counts[c] + 1), dtype
             )
             for c in e_classes
         }
         per_class_jtr = {
-            c: jnp.zeros((program.class_counts[c] + 1, program.class_tsizes[c]), dtype)
+            c: jnp.zeros((program.class_tsizes[c], program.class_counts[c] + 1), dtype)
             for c in e_classes
         }
         for gi, (meta, garr) in enumerate(zip(program.groups, arrays["groups"])):
@@ -112,13 +116,16 @@ def make_inner_iteration_fn(program, options, axis_name=None):
             tr = garr["t_rows"][e_pos]
             cnt = program.class_counts[cls]
             n_g, r_g, t_g = jac.shape
-            from ..jacobian import segment_outer_flat
-
-            per_class_jtj[cls] = per_class_jtj[cls] + segment_outer_flat(
-                jac.reshape(-1), tr, n_g, r_g, t_g, cnt + 1
-            ).reshape(cnt + 1, t_g, t_g)
-            per_class_jtr[cls] = per_class_jtr[cls] + jax.ops.segment_sum(
-                jnp.einsum("nrp,nr->np", jac, res), tr, num_segments=cnt + 1
+            plan = (meta.red_plans or {}).get(e_pos)
+            if axis_name and plan is not None and plan[0] == "bucket":
+                plan = ("segsum",)
+            jac_T = jnp.transpose(jac, (1, 2, 0))  # [r, t, n]
+            outer = (jac_T[:, :, None, :] * jac_T[:, None, :, :]).sum(axis=0)
+            per_class_jtj[cls] = per_class_jtj[cls] + reduce_T(
+                plan, outer.reshape(t_g * t_g, n_g), tr, cnt + 1
+            )
+            per_class_jtr[cls] = per_class_jtr[cls] + reduce_T(
+                plan, (jac_T * res.T[:, None, :]).sum(axis=0), tr, cnt + 1
             )
 
         # assemble the tangent delta class by class (e-classes solve, others 0)
@@ -127,17 +134,21 @@ def make_inner_iteration_fn(program, options, axis_name=None):
             cnt = program.class_counts[c]
             s = program.class_tsizes[c]
             if c not in e_classes:
-                parts.append(jnp.zeros((cnt, s), dtype))
+                parts.append(jnp.zeros(cnt * s, dtype))
                 continue
-            jtj = per_class_jtj[c][:-1]
-            jtr = per_class_jtr[c][:-1]
+            jtj = per_class_jtj[c][:, :-1]
+            jtr = per_class_jtr[c][:, :-1]
             if axis_name:
                 jtj = jax.lax.psum(jtj, axis_name)
                 jtr = jax.lax.psum(jtr, axis_name)
-            diag = jnp.maximum(jax.vmap(jnp.diag)(jtj), 1e-12)
-            a = jtj + damping * jax.vmap(jnp.diag)(diag)
-            parts.append(-jnp.linalg.solve(a, jtr[..., None])[..., 0])
-        delta = jnp.concatenate([p.reshape(-1) for p in parts])
+            # damp the diagonal, then batched closed-form/Cholesky inverse
+            diag_rows = _np.arange(s) * s + _np.arange(s)
+            a = jtj.at[diag_rows, :].add(
+                damping * jnp.maximum(jtj[diag_rows, :], 1e-12)
+            )
+            inv = _inverse_T(a, s, eps_scale=0.0)
+            parts.append(-apply_block_T(inv, jtr, s).T.reshape(-1))
+        delta = jnp.concatenate(parts)
         return plus_fn(program, arrays, state, delta)
 
     return sweep

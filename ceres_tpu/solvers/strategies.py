@@ -24,22 +24,22 @@ from ..linalg.preconditioners import make_preconditioner
 
 def _model_cost_change(jac_scaled, step, res_groups):
     """-m'(r + m/2) with m = J step; reference: trust_region_minimizer.cc
-    ComputeTrustRegionStep model_cost_change. Residuals/products are flat
-    1-D per group; padded rows contribute zeros."""
+    ComputeTrustRegionStep model_cost_change. Residuals/products are [r, n]
+    per group; padded lanes contribute zeros."""
     m_groups = jac_scaled.right_multiply(step)
     mcc = jnp.zeros((), dtype=step.dtype)
     for m, r in zip(m_groups, res_groups):
-        mcc = mcc - jnp.vdot(m, r + 0.5 * m)
+        mcc = mcc - jnp.sum(m * (r + 0.5 * m))
     if jac_scaled.axis_name:
         mcc = jax.lax.psum(mcc, jac_scaled.axis_name)
     return mcc
 
 
 def _flat_residuals(program, res_groups):
-    """Trim per-group chunk padding and concatenate (dense paths only)."""
-    return jnp.concatenate(
-        [r[: meta.rows] for meta, r in zip(program.groups, res_groups)]
-    )
+    """Trim per-group sharding padding and concatenate (dense paths only)."""
+    from ..evaluator import flatten_residuals
+
+    return flatten_residuals(program, res_groups)
 
 
 def make_lm_step_fn(program, options, evaluator):
