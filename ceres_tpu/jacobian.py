@@ -52,8 +52,10 @@ def gather_T(plan, table, rows):
     """Gather class-table rows into transposed form [s, n].
 
     table: [cnt(+dump), s] row-major class table.
-    rows:  [n] class-row indices (used by the fallback path).
+    rows:  [n] class-row indices (used by the one-hot/fallback paths).
     plan:  ("bucket", buckets) -> slice+broadcast (no gather);
+           ("onehot",) -> one-hot matmul on the MXU (avoids the tile-padded
+               [n, s] materialization of an XLA row gather);
            otherwise -> jnp.take + transpose.
     """
     if plan is not None and plan[0] == "bucket":
@@ -66,6 +68,11 @@ def gather_T(plan, table, rows):
                 )
             )
         return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
+    if plan is not None and plan[0] == "onehot":
+        onehot = jax.nn.one_hot(rows, table.shape[0], dtype=table.dtype, axis=0)
+        return jnp.einsum(
+            "cs,cn->sn", table, onehot, preferred_element_type=table.dtype
+        )
     return jnp.take(table, rows, axis=0).T
 
 

@@ -1,0 +1,448 @@
+"""Device-fused trust-region execution: whole LM iterations inside one
+compiled while_loop.
+
+The reference's outer loop (trust_region_minimizer.cc:66-124) is host code
+orchestrating device work; its per-iteration cost is dominated by D2H
+Jacobian transfers (README.md:198-200). Here the equivalent risk is
+dispatch latency: the host loop issues 4-6 device calls and fetches several
+scalars per iteration. This module compiles CHUNKS of complete LM
+iterations — step solve (with its inner PCG while_loop), Plus, candidate
+cost, non-monotonic step evaluation, radius update, convergence tests, and
+the conditional Jacobian re-evaluation — into ONE device program driven by
+`lax.while_loop`. The host sees one dispatch + one small stats fetch per
+chunk and replays the recorded per-iteration rows into Summary/logging.
+
+Eligibility (the host loop in trust_region.py remains the general path):
+jittable step function, no bounds, no inner iterations, no user callbacks,
+no evaluation callback, no update_state_every_iteration, unsharded
+evaluator. Behavioral parity with the host loop is bit-for-bit in the
+decision logic (same order of convergence tests, same radius/step-evaluator
+arithmetic); only wall-clock bookkeeping differs (per-iteration times are
+amortized chunk times).
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..types import IterationSummary, TerminationType
+
+# termination codes inside the fused loop
+_CONTINUE = 0
+_PARAM_TOL = 1
+_FUNC_TOL = 2
+_GRAD_TOL = 3
+_MIN_RADIUS = 4
+_INVALID_FAIL = 5
+_EVAL_FAIL = 6
+
+_TERM_MAP = {
+    _PARAM_TOL: (TerminationType.CONVERGENCE, "Parameter tolerance reached."),
+    _FUNC_TOL: (TerminationType.CONVERGENCE, "Function tolerance reached."),
+    _GRAD_TOL: (TerminationType.CONVERGENCE, "Gradient tolerance reached."),
+    _MIN_RADIUS: (
+        TerminationType.CONVERGENCE,
+        "Minimum trust region radius reached.",
+    ),
+    _INVALID_FAIL: (
+        TerminationType.FAILURE,
+        "Maximum number of consecutive invalid steps.",
+    ),
+    _EVAL_FAIL: (
+        TerminationType.FAILURE,
+        "Residual/Jacobian evaluation failed at accepted point.",
+    ),
+}
+
+# stats row layout (floats)
+_N_STATS = 10
+(
+    _S_COST,
+    _S_CHANGE,
+    _S_GMAX,
+    _S_GNORM,
+    _S_RADIUS,
+    _S_STEPNORM,
+    _S_RELDEC,
+    _S_LINITERS,
+    _S_FLAGS,  # 1 = valid, +2 = successful
+    _S_TERM,
+) = range(_N_STATS)
+
+CHUNK_ITERS = 20
+
+
+def eligible(program, options, evaluator, raw_step_fn) -> bool:
+    return (
+        getattr(options, "fused_execution", True)
+        and getattr(raw_step_fn, "jittable", True)
+        and not getattr(program, "has_bounds", False)
+        and not options.use_inner_iterations
+        and not options.callbacks
+        and not options.update_state_every_iteration
+        and getattr(program, "evaluation_callback", None) is None
+        and not hasattr(evaluator, "wrap_step_fn")  # unsharded only (v1)
+    )
+
+
+def make_chunk_fn(program, options, step_fn):
+    """Build the jitted chunk runner."""
+    from ..evaluator import evaluate, plus as plus_fn
+    from ..jacobian import BlockJacobian
+
+    ftol = options.function_tolerance
+    ptol = options.parameter_tolerance
+    gtol = options.gradient_tolerance
+    min_rel = options.min_relative_decrease
+    max_radius = options.max_trust_region_radius
+    min_radius = options.min_trust_region_radius
+    max_invalid = options.max_num_consecutive_invalid_steps
+    nonmono = (
+        options.max_consecutive_nonmonotonic_steps
+        if options.use_nonmonotonic_steps
+        else 0
+    )
+
+    def eval_jac(arrays, state):
+        cost, res, jac, grad = evaluate(program, arrays, state, with_jacobian=True)
+        return cost, tuple(res), (jac.jac_groups, jac.t_rows), grad
+
+    def cost_only(arrays, state):
+        return evaluate(program, arrays, state, with_jacobian=False)[0]
+
+    def chunk_fn(arrays, state, cost, res, jac_children, grad, scale, radius,
+                 df, ninv, se, limit):
+        dtype = state.dtype
+
+        def cond(c):
+            return jnp.logical_and(c["it"] < limit, c["term"] == _CONTINUE)
+
+        def body(c):
+            jac = BlockJacobian.tree_unflatten(
+                (program, None, None), c["jac"]
+            )
+            delta, mcc, lin_iters, valid = step_fn(
+                jac, list(c["res"]), c["grad"], c["radius"], scale
+            )
+
+            # ---- invalid-step path (HandleInvalidStep) ----
+            ninv1 = jnp.where(valid, 0, c["ninv"] + 1)
+            inv_fail = jnp.logical_and(~valid, ninv1 >= max_invalid)
+            r_shrunk = c["radius"] / c["df"]
+            df_grown = 2.0 * c["df"]
+            inv_minrad = jnp.logical_and(~valid, r_shrunk < min_radius)
+
+            # ---- candidate evaluation ----
+            candidate = plus_fn(program, arrays, c["state"], delta)
+            new_cost = cost_only(arrays, candidate)
+            finite_new = jnp.isfinite(new_cost)
+            step_norm = jnp.linalg.norm(delta)
+            x_norm = jnp.linalg.norm(c["state"])
+            cost_change = c["cost"] - new_cost
+
+            t_param = jnp.logical_and(
+                valid, step_norm <= ptol * (x_norm + ptol)
+            )
+            t_func = jnp.logical_and(
+                jnp.logical_and(valid, ~t_param),
+                jnp.logical_and(
+                    finite_new, jnp.abs(cost_change) <= ftol * c["cost"]
+                ),
+            )
+            proceed = jnp.logical_and(valid, ~t_param & ~t_func)
+
+            # ---- non-monotonic step quality (TrustRegionStepEvaluator) ----
+            se_cur, se_min, se_ref, se_cand, se_aref, se_acand, se_n = c["se"]
+            safe_mcc = jnp.where(mcc != 0, mcc, 1.0)
+            rd_classic = (se_cur - new_cost) / safe_mcc
+            rd_hist = (se_ref - new_cost) / jnp.where(
+                se_aref + mcc != 0, se_aref + mcc, 1.0
+            )
+            rel_dec = jnp.maximum(rd_classic, rd_hist)
+            successful = jnp.logical_and(
+                proceed, jnp.logical_and(finite_new, rel_dec > min_rel)
+            )
+
+            # step-evaluator state update (only when successful)
+            cur2 = new_cost
+            acand2 = se_acand + mcc
+            aref2 = se_aref + mcc
+            is_new_min = cur2 < se_min
+            min2 = jnp.where(is_new_min, cur2, se_min)
+            n2 = jnp.where(is_new_min, 0, se_n + 1)
+            cand2 = jnp.where(
+                is_new_min, cur2, jnp.where(cur2 > se_cand, cur2, se_cand)
+            )
+            acand2 = jnp.where(
+                is_new_min,
+                0.0,
+                jnp.where(cur2 > se_cand, 0.0, acand2),
+            )
+            hit = n2 == nonmono
+            ref2 = jnp.where(hit, cand2, se_ref)
+            aref2 = jnp.where(hit, acand2, aref2)
+            se_new = tuple(
+                jnp.where(successful, a, b)
+                for a, b in zip(
+                    (cur2, min2, ref2, cand2, aref2, acand2, n2),
+                    c["se"],
+                )
+            )
+
+            # ---- radius / damping update ----
+            r_grow = c["radius"] / jnp.maximum(
+                1.0 / 3.0, 1.0 - (2.0 * rel_dec - 1.0) ** 3
+            )
+            r_grow = jnp.minimum(r_grow, max_radius)
+            rejected = jnp.logical_and(proceed, ~successful)
+            shrink = jnp.logical_or(~valid, rejected)
+            radius2 = jnp.where(
+                successful, r_grow, jnp.where(shrink, r_shrunk, c["radius"])
+            )
+            df2 = jnp.where(successful, 2.0, jnp.where(shrink, df_grown, c["df"]))
+            rej_minrad = jnp.logical_and(rejected, r_shrunk < min_radius)
+
+            # ---- state update + conditional re-evaluation ----
+            accept_state = jnp.logical_or(
+                successful, jnp.logical_and(t_func, new_cost < c["cost"])
+            )
+            state2 = jnp.where(accept_state, candidate, c["state"])
+            cost_acc = jnp.where(accept_state, new_cost, c["cost"])
+
+            def reeval(_):
+                cj, res2, jacc2, grad2 = eval_jac(arrays, candidate)
+                return cj, res2, jacc2, grad2
+
+            def keep(_):
+                return c["cost"], c["res"], c["jac"], c["grad"]
+
+            cost_j, res2, jacc2, grad2 = jax.lax.cond(
+                successful, reeval, keep, None
+            )
+            eval_fail = jnp.logical_and(successful, ~jnp.isfinite(cost_j))
+            gmax = jnp.max(jnp.abs(grad2)) if grad2.size else jnp.zeros((), dtype)
+            gnorm = jnp.linalg.norm(grad2)
+            t_grad = jnp.logical_and(successful, gmax <= gtol)
+
+            term = jnp.where(
+                inv_fail,
+                _INVALID_FAIL,
+                jnp.where(
+                    inv_minrad,
+                    _MIN_RADIUS,
+                    jnp.where(
+                        t_param,
+                        _PARAM_TOL,
+                        jnp.where(
+                            t_func,
+                            _FUNC_TOL,
+                            jnp.where(
+                                eval_fail,
+                                _EVAL_FAIL,
+                                jnp.where(
+                                    t_grad,
+                                    _GRAD_TOL,
+                                    jnp.where(
+                                        rej_minrad, _MIN_RADIUS, _CONTINUE
+                                    ),
+                                ),
+                            ),
+                        ),
+                    ),
+                ),
+            ).astype(jnp.int32)
+
+            row = jnp.stack(
+                [
+                    cost_acc,
+                    jnp.where(valid, cost_change, 0.0),
+                    gmax,
+                    gnorm,
+                    radius2,
+                    jnp.where(valid, step_norm, 0.0),
+                    jnp.where(proceed, rel_dec, 0.0),
+                    lin_iters.astype(dtype),
+                    valid.astype(dtype) + 2.0 * successful.astype(dtype),
+                    term.astype(dtype),
+                ]
+            )
+            stats2 = jax.lax.dynamic_update_slice(
+                c["stats"], row[None, :], (c["it"], jnp.zeros_like(c["it"]))
+            )
+
+            return dict(
+                it=c["it"] + 1,
+                term=term,
+                state=state2,
+                cost=cost_acc,
+                res=res2,
+                jac=jacc2,
+                grad=grad2,
+                radius=radius2,
+                df=df2,
+                ninv=ninv1,
+                se=se_new,
+                stats=stats2,
+                nsucc=c["nsucc"] + successful.astype(jnp.int32),
+                nfail=c["nfail"]
+                + (jnp.logical_or(~valid, rejected)).astype(jnp.int32),
+                njac=c["njac"] + successful.astype(jnp.int32),
+            )
+
+        init = dict(
+            it=jnp.asarray(0, jnp.int32),
+            term=jnp.asarray(_CONTINUE, jnp.int32),
+            state=state,
+            cost=cost,
+            res=tuple(res),
+            jac=jac_children,
+            grad=grad,
+            radius=radius,
+            df=df,
+            ninv=ninv,
+            se=se,
+            stats=jnp.zeros((CHUNK_ITERS, _N_STATS), dtype),
+            nsucc=jnp.asarray(0, jnp.int32),
+            nfail=jnp.asarray(0, jnp.int32),
+            njac=jnp.asarray(0, jnp.int32),
+        )
+        return jax.lax.while_loop(cond, body, init)
+
+    return jax.jit(chunk_fn, static_argnames=())
+
+
+def run_fused(minimizer, state, summary):
+    """Drive the fused loop in chunks; fills summary like the host loop."""
+    options = minimizer.options
+    program = minimizer.program
+    ev = minimizer.evaluator
+    start = time.time()
+
+    t_jac = time.time()
+    cost0, res_groups, jac, grad = ev.evaluate_groups(state)
+    cost = float(cost0)
+    summary.num_jacobian_evaluations += 1
+    summary.jacobian_evaluation_time_in_seconds += time.time() - t_jac
+    if not np.isfinite(cost):
+        summary.termination_type = TerminationType.FAILURE
+        summary.message = "Initial cost evaluation failed (non-finite)."
+        return state
+    summary.initial_cost = cost + summary.fixed_cost
+
+    if options.jacobi_scaling:
+        colnorm2 = jac.squared_column_norms()
+        scale = 1.0 / (1.0 + jnp.sqrt(colnorm2))
+    else:
+        scale = jnp.ones(program.num_effective_parameters, dtype=state.dtype)
+
+    gmax0 = float(jnp.max(jnp.abs(grad))) if grad.size else 0.0
+    gnorm0 = float(jnp.linalg.norm(grad))
+    it0 = IterationSummary(
+        iteration=0,
+        step_is_valid=True,
+        step_is_successful=True,
+        cost=cost + summary.fixed_cost,
+        gradient_max_norm=gmax0,
+        gradient_norm=gnorm0,
+        trust_region_radius=float(options.initial_trust_region_radius),
+        eta=options.eta,
+        iteration_time_in_seconds=time.time() - start,
+        cumulative_time_in_seconds=time.time() - start,
+    )
+    summary.iterations.append(it0)
+    minimizer._log(it0)
+    if gmax0 <= options.gradient_tolerance:
+        summary.termination_type = TerminationType.CONVERGENCE
+        summary.message = (
+            f"Gradient tolerance reached. Gradient max norm {gmax0:e}"
+            f" <= {options.gradient_tolerance:e}"
+        )
+        summary.final_cost = cost + summary.fixed_cost
+        return state
+
+    chunk_fn = minimizer._fused_chunk_fn
+    dtype = state.dtype
+    radius = jnp.asarray(options.initial_trust_region_radius, dtype)
+    df = jnp.asarray(2.0, dtype)
+    ninv = jnp.asarray(0, jnp.int32)
+    c0 = jnp.asarray(cost, dtype)
+    zero = jnp.asarray(0.0, dtype)
+    se = (c0, c0, c0, c0, zero, zero, jnp.asarray(0, jnp.int32))
+    jac_children = (jac.jac_groups, jac.t_rows)
+    res = tuple(res_groups)
+    cost_dev = c0
+
+    iters_done = 0
+    term_code = _CONTINUE
+    while iters_done < options.max_num_iterations:
+        if time.time() - start > options.max_solver_time_in_seconds:
+            summary.termination_type = TerminationType.NO_CONVERGENCE
+            summary.message = "Maximum solver time reached."
+            summary.final_cost = float(cost_dev) + summary.fixed_cost
+            return np.asarray(state)
+        limit = min(CHUNK_ITERS, options.max_num_iterations - iters_done)
+        t_chunk = time.time()
+        out = chunk_fn(
+            ev.arrays, state, cost_dev, res, jac_children, grad, scale,
+            radius, df, ninv, se, jnp.asarray(limit, jnp.int32),
+        )
+        n_it = int(out["it"])
+        stats = np.asarray(out["stats"][:n_it])
+        chunk_time = time.time() - t_chunk
+
+        state = out["state"]
+        cost_dev = out["cost"]
+        res = out["res"]
+        jac_children = out["jac"]
+        grad = out["grad"]
+        radius, df, ninv, se = out["radius"], out["df"], out["ninv"], out["se"]
+        nsucc = int(out["nsucc"])
+        summary.num_successful_steps += nsucc
+        summary.num_unsuccessful_steps += int(out["nfail"])
+        summary.num_jacobian_evaluations += int(out["njac"])
+        summary.num_residual_evaluations += n_it
+        summary.num_linear_solves += n_it
+        summary.linear_solver_time_in_seconds += chunk_time
+
+        for k in range(n_it):
+            row = stats[k]
+            flags = int(row[_S_FLAGS])
+            it_sum = IterationSummary(
+                iteration=iters_done + k + 1,
+                step_is_valid=bool(flags & 1),
+                step_is_successful=bool(flags & 2),
+                cost=float(row[_S_COST]) + summary.fixed_cost,
+                cost_change=float(row[_S_CHANGE]),
+                gradient_max_norm=float(row[_S_GMAX]),
+                gradient_norm=float(row[_S_GNORM]),
+                step_norm=float(row[_S_STEPNORM]),
+                relative_decrease=float(row[_S_RELDEC]),
+                trust_region_radius=float(row[_S_RADIUS]),
+                eta=options.eta,
+                linear_solver_iterations=int(row[_S_LINITERS]),
+                iteration_time_in_seconds=chunk_time / max(n_it, 1),
+                cumulative_time_in_seconds=time.time() - start,
+            )
+            summary.iterations.append(it_sum)
+            minimizer._log(it_sum)
+
+        iters_done += n_it
+        term_code = int(out["term"])
+        if term_code != _CONTINUE:
+            break
+        if n_it == 0:
+            break
+
+    if term_code != _CONTINUE:
+        tt, msg = _TERM_MAP[term_code]
+        summary.termination_type = tt
+        summary.message = msg
+    else:
+        summary.termination_type = TerminationType.NO_CONVERGENCE
+        summary.message = "Maximum number of iterations reached."
+    summary.final_cost = float(cost_dev) + summary.fixed_cost
+    return np.asarray(state)

@@ -58,6 +58,12 @@ class TrustRegionMinimizer:
 
             self.step_fn = jax.jit(raw_step_fn)
 
+        self._fused_chunk_fn = None
+        from .fused_loop import eligible, make_chunk_fn
+
+        if eligible(program, options, evaluator, raw_step_fn):
+            self._fused_chunk_fn = make_chunk_fn(program, options, raw_step_fn)
+
     def _grad_norms(self, ev, state, grad):
         """(max_norm, norm) of the gradient; with bounds present these are
         projected-gradient norms |x - Plus(x, -g)| so actives at their bound
@@ -127,6 +133,10 @@ class TrustRegionMinimizer:
         return delta, evals  # search failed; keep the full step
 
     def minimize(self, state, summary):
+        if self._fused_chunk_fn is not None:
+            from .fused_loop import run_fused
+
+            return run_fused(self, state, summary)
         options = self.options
         ev = self.evaluator
         start = time.time()

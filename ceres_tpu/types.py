@@ -145,6 +145,13 @@ class SolverOptions:
     max_consecutive_nonmonotonic_steps: int = 5
     max_num_consecutive_invalid_steps: int = 5
     jacobi_scaling: bool = True
+    # Fuse whole trust-region iterations into one compiled device loop when
+    # eligible (no bounds/callbacks/inner iterations; jittable linear
+    # solver). Decision logic is identical to the host loop; only
+    # per-iteration wall-clock bookkeeping is amortized. TPU-native
+    # counterpart of keeping the reference's outer loop off the
+    # host<->device boundary (SURVEY.md §7 "host-side control loop latency").
+    fused_execution: bool = True
 
     # --- convergence tolerances (solver.h:430-470) ---
     function_tolerance: float = 1e-6
