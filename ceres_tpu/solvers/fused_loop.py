@@ -334,8 +334,11 @@ def run_fused(minimizer, state, summary):
     summary.initial_cost = cost + summary.fixed_cost
 
     if options.jacobi_scaling:
-        colnorm2 = jac.squared_column_norms()
-        scale = 1.0 / (1.0 + jnp.sqrt(colnorm2))
+        # jitted: the one-hot reduction path must fuse (an eager call would
+        # materialize the [n, cnt] one-hot)
+        scale = jax.jit(lambda j: 1.0 / (1.0 + jnp.sqrt(j.squared_column_norms())))(
+            jac
+        )
     else:
         scale = jnp.ones(program.num_effective_parameters, dtype=state.dtype)
 

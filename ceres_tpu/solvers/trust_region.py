@@ -158,9 +158,14 @@ class TrustRegionMinimizer:
 
         # Jacobi column scaling, computed once from the first Jacobian
         # (trust_region_minimizer.cc EvaluateGradientAndJacobian iteration 0).
+        # jitted: the one-hot reduction path must fuse (an eager call would
+        # materialize the [n, cnt] one-hot).
         if options.jacobi_scaling:
-            colnorm2 = jac.squared_column_norms()
-            scale = 1.0 / (1.0 + jnp.sqrt(colnorm2))
+            import jax
+
+            scale = jax.jit(
+                lambda j: 1.0 / (1.0 + jnp.sqrt(j.squared_column_norms()))
+            )(jac)
         else:
             scale = jnp.ones(self.program.num_effective_parameters, dtype=state.dtype)
 
