@@ -184,12 +184,19 @@ class BlockJacobian:
             yield vpos, pm, jac, tr
 
     def plan(self, gi, vpos):
-        """Reduction/gather plan for (group, view-position); bucket plans are
-        invalid on shard-local lane slices and degrade to segment_sum."""
+        """Reduction/gather plan for (group, view-position). Bucket plans
+        describe the unpadded global lane layout; they degrade to
+        segment_sum on shard-local lane slices (axis_name set) and on
+        padded global views (lane count != meta.n, e.g. the sharded
+        evaluator's ndev-multiple padding)."""
         meta = self.program.groups[gi]
         plans = meta.red_plans or {}
         plan = plans.get(self.positions[gi][vpos])
-        if plan is not None and plan[0] == "bucket" and self.axis_name is not None:
+        if (
+            plan is not None
+            and plan[0] == "bucket"
+            and (self.axis_name is not None or self._group_n(gi) != meta.n)
+        ):
             return ("segsum",)
         return plan
 

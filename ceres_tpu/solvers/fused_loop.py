@@ -85,14 +85,22 @@ def eligible(program, options, evaluator, raw_step_fn) -> bool:
         and not options.callbacks
         and not options.update_state_every_iteration
         and getattr(program, "evaluation_callback", None) is None
-        and not hasattr(evaluator, "wrap_step_fn")  # unsharded only (v1)
     )
 
 
-def make_chunk_fn(program, options, step_fn):
-    """Build the jitted chunk runner."""
+def make_chunk_fn(program, options, step_fn, sharded_evaluator=None):
+    """Build the jitted chunk runner.
+
+    With `sharded_evaluator` set (a parallel.sharding.ShardedEvaluator), the
+    entire chunk — including every LM iteration's evaluation, PCG solve, and
+    reductions — runs inside one shard_map over the evaluator's mesh:
+    residual/Jacobian leaves stay lane-sharded across devices, tangent-space
+    reductions psum over the axis, and the trust-region scalar state is
+    replicated (the BASELINE north-star execution shape)."""
     from ..evaluator import evaluate, plus as plus_fn
     from ..jacobian import BlockJacobian
+
+    axis = sharded_evaluator.axis if sharded_evaluator is not None else None
 
     ftol = options.function_tolerance
     ptol = options.parameter_tolerance
@@ -108,11 +116,15 @@ def make_chunk_fn(program, options, step_fn):
     )
 
     def eval_jac(arrays, state):
-        cost, res, jac, grad = evaluate(program, arrays, state, with_jacobian=True)
+        cost, res, jac, grad = evaluate(
+            program, arrays, state, with_jacobian=True, axis_name=axis
+        )
         return cost, tuple(res), (jac.jac_groups, jac.t_rows), grad
 
     def cost_only(arrays, state):
-        return evaluate(program, arrays, state, with_jacobian=False)[0]
+        return evaluate(
+            program, arrays, state, with_jacobian=False, axis_name=axis
+        )[0]
 
     def chunk_fn(arrays, state, cost, res, jac_children, grad, scale, radius,
                  df, ninv, se, limit):
@@ -123,7 +135,7 @@ def make_chunk_fn(program, options, step_fn):
 
         def body(c):
             jac = BlockJacobian.tree_unflatten(
-                (program, None, None), c["jac"]
+                (program, axis, None), c["jac"]
             )
             delta, mcc, lin_iters, valid = step_fn(
                 jac, list(c["res"]), c["grad"], c["radius"], scale
@@ -312,7 +324,36 @@ def make_chunk_fn(program, options, step_fn):
         )
         return jax.lax.while_loop(cond, body, init)
 
-    return jax.jit(chunk_fn, static_argnames=())
+    if sharded_evaluator is None:
+        return jax.jit(chunk_fn)
+
+    from jax.sharding import PartitionSpec as P
+
+    from ..parallel.sharding import jac_pspecs, res_groups_pspecs
+
+    rep = P()
+    jac_specs = jac_pspecs(program, axis)
+    res_specs = tuple(res_groups_pspecs(program, axis))
+    se_specs = tuple(rep for _ in range(7))
+    in_specs = (
+        sharded_evaluator.arrays_specs,
+        rep, rep, res_specs, jac_specs, rep, rep, rep, rep, rep,
+        se_specs, rep,
+    )
+    out_specs = dict(
+        it=rep, term=rep, state=rep, cost=rep,
+        res=res_specs, jac=jac_specs, grad=rep,
+        radius=rep, df=rep, ninv=rep, se=se_specs, stats=rep,
+        nsucc=rep, nfail=rep, njac=rep,
+    )
+    return jax.jit(
+        jax.shard_map(
+            chunk_fn,
+            mesh=sharded_evaluator.mesh,
+            in_specs=in_specs,
+            out_specs=out_specs,
+        )
+    )
 
 
 def run_fused(minimizer, state, summary):

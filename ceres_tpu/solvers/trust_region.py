@@ -62,7 +62,10 @@ class TrustRegionMinimizer:
         from .fused_loop import eligible, make_chunk_fn
 
         if eligible(program, options, evaluator, raw_step_fn):
-            self._fused_chunk_fn = make_chunk_fn(program, options, raw_step_fn)
+            sharded = evaluator if hasattr(evaluator, "wrap_step_fn") else None
+            self._fused_chunk_fn = make_chunk_fn(
+                program, options, raw_step_fn, sharded_evaluator=sharded
+            )
 
     def _grad_norms(self, ev, state, grad):
         """(max_norm, norm) of the gradient; with bounds present these are
