@@ -63,6 +63,45 @@ def solve(options, problem) -> Summary:
         summary.total_time_in_seconds = time.time() - total_start
         return summary
 
+    if options.check_gradients:
+        # reference: Solver::Options::check_gradients wires a
+        # GradientCheckingCostFunction around every residual block and
+        # aborts on mismatch (solver.cc:765-775,
+        # gradient_checking_cost_function.cc). Here each signature group's
+        # functor is probed once at its first block's current values —
+        # groups share one functor, so one probe per group covers every
+        # block's code path.
+        from ..gradient_checker import check_gradients as _check
+
+        for meta, idx in zip(program.groups, program.group_idx):
+            params = [
+                program.state0[
+                    program.x_offsets[ids[0]] : program.x_offsets[ids[0]]
+                    + meta.positions[pos].size
+                ]
+                for pos, ids in enumerate(idx["block_ids"])
+            ]
+            data0 = tuple(np.asarray(d)[0] for d in idx["data"])
+            res = _check(
+                meta.cost_function,
+                params,
+                data=data0,
+                manifolds=[pm.manifold for pm in meta.positions],
+                relative_step_size=(
+                    options.gradient_check_numeric_derivative_relative_step_size
+                ),
+                relative_precision=options.gradient_check_relative_precision,
+            )
+            if not res.ok:
+                summary.termination_type = TerminationType.FAILURE
+                summary.message = (
+                    f"Gradient check failed for cost function "
+                    f"'{meta.cost_function.name}': max relative error "
+                    f"{res.max_relative_error:.3e}.\n{res.error_log}"
+                )
+                summary.total_time_in_seconds = time.time() - total_start
+                return summary
+
     if options.mesh is not None:
         from ..parallel.sharding import ShardedEvaluator
 
