@@ -24,8 +24,17 @@ CONFIGS = [
     (LinearSolverType.CGNR, PreconditionerType.JACOBI),
     (LinearSolverType.ITERATIVE_SCHUR, PreconditionerType.JACOBI),
     (LinearSolverType.ITERATIVE_SCHUR, PreconditionerType.SCHUR_JACOBI),
+    (
+        LinearSolverType.ITERATIVE_SCHUR,
+        PreconditionerType.SCHUR_POWER_SERIES_EXPANSION,
+    ),
+    (LinearSolverType.ITERATIVE_SCHUR, PreconditionerType.CLUSTER_JACOBI),
+    (LinearSolverType.ITERATIVE_SCHUR, PreconditionerType.CLUSTER_TRIDIAGONAL),
     (LinearSolverType.DENSE_SCHUR, PreconditionerType.IDENTITY),
     (LinearSolverType.SPARSE_SCHUR, PreconditionerType.IDENTITY),
+    (LinearSolverType.SPARSE_NORMAL_CHOLESKY, PreconditionerType.IDENTITY),
+    (LinearSolverType.DENSE_NORMAL_CHOLESKY, PreconditionerType.IDENTITY),
+    (LinearSolverType.DENSE_QR, PreconditionerType.IDENTITY),
 ]
 
 
