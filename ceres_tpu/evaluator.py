@@ -110,12 +110,49 @@ def _group_eval(
     """Evaluate one signature group. Returns (cost, res [r,n], jacs tuple of
     [r*t, n]) in the transposed SoA layout (see jacobian.py).
 
+    Groups larger than LANE_CHUNK evaluate in lane slices (XLA's fusion
+    temporaries for the batched pushforwards scale with the slice size —
+    unchunked, a 29M-observation group needs >27 GB of temps; measured OOM
+    on 16 GB v5e). Cost/residual/Jacobian results are concatenated; the
+    math is identical.
+    """
+    from .jacobian import LANE_CHUNK, lane_chunks
+
+    n_total = garr["a_rows"][0].shape[0] if garr["a_rows"] else meta.n
+    ranges = lane_chunks(n_total)
+    if len(ranges) == 1:
+        return _group_eval_range(
+            meta, garr, state_2d, with_jacobian, apply_loss, sharded, 0, n_total
+        )
+    costs, ress, jacss = [], [], []
+    for (s, sz) in ranges:
+        c, r, j = _group_eval_range(
+            meta, garr, state_2d, with_jacobian, apply_loss, sharded, s, sz
+        )
+        costs.append(c)
+        ress.append(r)
+        jacss.append(j)
+    cost = sum(costs)
+    res = jnp.concatenate(ress, axis=1)
+    jacs = tuple(
+        jnp.concatenate([j[i] for j in jacss], axis=1)
+        for i in range(len(jacss[0]))
+    )
+    return cost, res, jacs
+
+
+def _group_eval_range(
+    meta, garr, state_2d, with_jacobian, apply_loss, sharded, start, size
+):
+    """Evaluate lanes [start, start+size) of one signature group.
+
     state_2d: per-ambient-class [count, size] tables. Parameter gathers are
     row takes, except the owner position whose interleaved bucket layout
     makes the gather a slice+broadcast (no gather at all).
     """
     from .jacobian import gather_T
 
+    end = start + size
     params = []
     for pos, (pm, rows) in enumerate(zip(meta.positions, garr["a_rows"])):
         plan = (meta.red_plans or {}).get(pos)
@@ -126,13 +163,18 @@ def _group_eval(
             and plan is not None
             and plan[0] == "bucket"
         ):
-            params.append(gather_T(plan, state_2d[pm.a_cls], rows).T)
+            full = gather_T(plan, state_2d[pm.a_cls], rows)
+            params.append(full[:, start:end].T)
         else:
-            params.append(jnp.take(state_2d[pm.a_cls], rows, axis=0))
+            params.append(jnp.take(state_2d[pm.a_cls], rows[start:end], axis=0))
     params = tuple(params)
     fn = meta.cost_function.fn
-    data = garr["data"]
+    data = tuple(
+        jax.tree_util.tree_map(lambda d: d[start:end], dd) for dd in garr["data"]
+    )
     mask = garr.get("mask")  # [n] 0/1 validity (padding for sharding), or None
+    if mask is not None:
+        mask = mask[start:end]
 
     if with_jacobian:
         res, jacs = batched_value_and_jacobians(fn, params, data)

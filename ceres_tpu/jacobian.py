@@ -47,6 +47,22 @@ import numpy as np
 # plan-based gather / reduce primitives (shared with schur.py)
 # ---------------------------------------------------------------------- #
 
+# Lanes per slice in chunked products/evaluation. Bounds XLA fusion temps
+# and one-hot matmul operands (an [81, n] f32 operand at BAL-13682 scale
+# (29M observations) is 9.4 GB unchunked, and the batched-pushforward
+# fusion temps reach 27 GB — measured OOM on 16 GB v5e). ~0.93 GB of
+# fusion temps per million lanes; 6M lanes ≈ 5.6 GB, and BAL-1778 (5M
+# observations) stays single-slice.
+LANE_CHUNK = 6_291_456
+
+
+def lane_chunks(n: int, chunk: int = None):
+    """[(start, size)] covering [0, n) in chunk-sized slices."""
+    chunk = chunk or LANE_CHUNK
+    if n <= chunk:
+        return [(0, n)]
+    return [(s, min(chunk, n - s)) for s in range(0, n, chunk)]
+
 
 def gather_T(plan, table, rows):
     """Gather class-table rows into transposed form [s, n].
@@ -94,10 +110,22 @@ def reduce_T(plan, contrib, rows, num_out):
             out = jax.lax.dynamic_update_slice(out, seg, (0, out_row))
         return out
     if plan is not None and plan[0] == "onehot":
-        onehot = jax.nn.one_hot(rows, num_out, dtype=contrib.dtype)  # [n, num_out]
-        return jnp.einsum(
-            "kn,nc->kc", contrib, onehot, preferred_element_type=contrib.dtype
-        )
+        # lane-chunked: each chunk's one-hot matmul operand slice keeps the
+        # (possibly virtual) contrib producer fused per chunk instead of
+        # materializing a [k, n] buffer (9.4 GB at BAL-13682 scale)
+        n = contrib.shape[1]
+        out = jnp.zeros((k, num_out), contrib.dtype)
+        for (s, sz) in lane_chunks(n):
+            onehot = jax.nn.one_hot(
+                rows[s : s + sz], num_out, dtype=contrib.dtype
+            )
+            out = out + jnp.einsum(
+                "kn,nc->kc",
+                contrib[:, s : s + sz],
+                onehot,
+                preferred_element_type=contrib.dtype,
+            )
+        return out
     return jax.ops.segment_sum(contrib.T, rows, num_segments=num_out).T
 
 
