@@ -92,8 +92,11 @@ class Program:
     SEG_REDUCE_THRESHOLD = 32_768
     MAX_SEG_BUCKETS = 512
     # max one-hot matmul width for small-class reductions (cost is
-    # k * cnt * n MACs on the MXU; beyond this segment_sum wins)
-    ONEHOT_MAX_COLS = 4096
+    # k * cnt * n MACs on the MXU, lane-chunked so memory stays bounded).
+    # Covers BAL-13682's camera class; the segment_sum fallback's [n, k]
+    # transpose tile-pads 14x (13.8 GB at 29M rows — measured OOM), so the
+    # one-hot path wins far beyond its FLOP-optimal range.
+    ONEHOT_MAX_COLS = 16384
 
     def __init__(self, blocks, batches, evaluation_callback=None):
         self._blocks = blocks
