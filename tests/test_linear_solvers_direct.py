@@ -1,0 +1,80 @@
+"""Direct (step-level) linear-solver tests on one fixed LM subproblem.
+
+The analog of the reference's golden linear-least-squares fixture
+(linear_least_squares_problems.cc, used by every *_solver_test.cc): all
+linear solver types must produce the same damped normal-equations solution
+    (J^T J + diag(dsq)) step = -J^T r
+for the same Jacobian/residual state, verified against an explicit dense
+solve. Exercises the solver dispatch below the trust-region loop.
+"""
+
+import numpy as np
+import pytest
+
+from ceres_tpu import LinearSolverType, PreconditionerType, SolverOptions
+from ceres_tpu.io.bal import build_ba_problem, synthetic_bal
+from ceres_tpu.solvers.strategies import make_lm_step_fn
+
+CONFIGS = [
+    (LinearSolverType.DENSE_QR, PreconditionerType.IDENTITY),
+    (LinearSolverType.DENSE_NORMAL_CHOLESKY, PreconditionerType.IDENTITY),
+    (LinearSolverType.CGNR, PreconditionerType.JACOBI),
+    (LinearSolverType.ITERATIVE_SCHUR, PreconditionerType.SCHUR_JACOBI),
+    (LinearSolverType.DENSE_SCHUR, PreconditionerType.IDENTITY),
+    (LinearSolverType.SPARSE_SCHUR, PreconditionerType.IDENTITY),
+    (LinearSolverType.SPARSE_NORMAL_CHOLESKY, PreconditionerType.IDENTITY),
+]
+
+
+@pytest.fixture(scope="module")
+def fixed_subproblem():
+    bal = synthetic_bal(5, 40, 160, seed=7)
+    problem, _, _ = build_ba_problem(bal)
+    program = problem.compile()
+    ev = program.evaluator()
+    state = program.state_vector()
+    cost, res_groups, jac, grad = ev.evaluate_groups(state)
+    return program, ev, jac, res_groups, grad
+
+
+def _dense_reference(program, jac, grad, radius, scale):
+    import jax.numpy as jnp
+
+    jac_s = jac.scale_columns(jnp.asarray(scale))
+    j = np.asarray(jac_s.to_dense(), dtype=np.float64)
+    g = np.asarray(grad, dtype=np.float64) * np.asarray(scale)
+    colnorm2 = np.asarray(jac_s.squared_column_norms(), dtype=np.float64)
+    dsq = np.clip(colnorm2, 1e-6, 1e32) / radius
+    a = j.T @ j + np.diag(dsq)
+    step = np.linalg.solve(a, -g)
+    return np.asarray(scale) * step
+
+
+@pytest.mark.parametrize(
+    "solver,prec", CONFIGS, ids=lambda v: getattr(v, "value", str(v))
+)
+def test_step_matches_dense_reference(fixed_subproblem, solver, prec):
+    import jax.numpy as jnp
+
+    program, ev, jac, res_groups, grad = fixed_subproblem
+    radius = 1e4
+    scale = np.ones(program.num_effective_parameters)
+
+    options = SolverOptions(
+        linear_solver_type=solver,
+        preconditioner_type=prec,
+        max_linear_solver_iterations=500,
+        eta=1e-12,
+    )
+    step_fn = make_lm_step_fn(program, options, ev)
+    delta, mcc, iters, valid = step_fn(
+        jac,
+        list(res_groups),
+        grad,
+        jnp.asarray(radius, grad.dtype),
+        jnp.asarray(scale, grad.dtype),
+    )
+    assert bool(valid)
+    expected = _dense_reference(program, jac, grad, radius, scale)
+    np.testing.assert_allclose(np.asarray(delta), expected, rtol=2e-5, atol=1e-8)
+    assert float(mcc) > 0
