@@ -6,6 +6,8 @@ jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 sys.path.insert(0, "/root/repo")
+import ceres_tpu.jacobian as _jm
+_jm.LANE_CHUNK = 2_097_152
 from ceres_tpu.evaluator import evaluate
 from ceres_tpu.io.bal import build_ba_problem, synthetic_bal
 

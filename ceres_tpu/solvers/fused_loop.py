@@ -84,6 +84,7 @@ def eligible(program, options, evaluator, raw_step_fn) -> bool:
         and not options.use_inner_iterations
         and not options.callbacks
         and not options.update_state_every_iteration
+        and not options.trust_region_minimizer_iterations_to_dump
         and getattr(program, "evaluation_callback", None) is None
     )
 

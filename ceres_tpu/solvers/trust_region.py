@@ -218,6 +218,33 @@ class TrustRegionMinimizer:
                 mask = self._active_bound_mask(state, grad)
                 if mask is not None:
                     iter_scale = scale * jnp.asarray(mask, dtype=state.dtype)
+
+            if iteration in (options.trust_region_minimizer_iterations_to_dump or ()):
+                # reference: DumpLinearLeastSquaresProblem called from
+                # levenberg_marquardt_strategy.cc:135-147 — exports the LM
+                # subproblem min |J D_s step + r|^2 + |D step|^2 for offline
+                # analysis. Here: one .npz with the CRS Jacobian, residuals,
+                # gradient, Jacobi scale, and trust-region radius.
+                import os as _os
+
+                vals, cols, row_ptr = jac.to_crs()
+                np.savez(
+                    _os.path.join(
+                        options.trust_region_problem_dump_directory,
+                        f"ceres_tpu_problem_{iteration:03d}.npz",
+                    ),
+                    jacobian_values=np.asarray(vals),
+                    jacobian_cols=cols,
+                    jacobian_row_ptr=row_ptr,
+                    residuals=np.asarray(
+                        __import__(
+                            "ceres_tpu.evaluator", fromlist=["flatten_residuals"]
+                        ).flatten_residuals(self.program, res_groups)
+                    ),
+                    gradient=np.asarray(grad),
+                    scale=np.asarray(iter_scale),
+                    trust_region_radius=radius,
+                )
             delta, mcc, lin_iters, valid = self.step_fn(
                 jac, res_groups, grad, jnp.asarray(radius, state.dtype), iter_scale
             )

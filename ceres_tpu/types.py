@@ -220,6 +220,13 @@ class SolverOptions:
     mesh_axis: str = "dp"
 
     # --- gradient checking ---
+    # Dump the LM subproblem (J CRS, residuals, gradient, D) at these
+    # iterations as .npz files (reference: solver.h:742-749,
+    # DumpLinearLeastSquaresProblem via levenberg_marquardt_strategy.cc).
+    # Forces the host loop (the fused device loop cannot export).
+    trust_region_minimizer_iterations_to_dump: tuple = ()
+    trust_region_problem_dump_directory: str = "/tmp"
+
     check_gradients: bool = False
     gradient_check_relative_precision: float = 1e-8
     gradient_check_numeric_derivative_relative_step_size: float = 1e-6
