@@ -300,7 +300,7 @@ class Problem:
         rows = []
         for h in handles:
             bi, row = self._handle_index[int(h)]
-            gi, grow = program._handle_map[(bi, row)]
+            gi, grow = program.handle_entry(bi, row)
             meta = program.groups[gi]
             r = meta.num_residuals
             start = meta.row_offset + grow * r

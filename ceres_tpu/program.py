@@ -168,6 +168,42 @@ class Program:
     # layout
     # ------------------------------------------------------------------ #
 
+    def _collect_block_arrays(self):
+        """Single python pass over block objects -> numpy columns (all
+        subsequent layout math is vectorized)."""
+        blocks = self._blocks
+        nb = len(blocks)
+        removed = np.zeros(nb, dtype=bool)
+        constant = np.zeros(nb, dtype=bool)
+        sizes = np.zeros(nb, dtype=np.int64)
+        tsizes = np.zeros(nb, dtype=np.int64)
+        manifold_ids = np.full(nb, -1, dtype=np.int64)  # -1 = Euclidean/None
+        manifolds: list = []
+        manifold_index: dict = {}
+        for b in blocks:
+            i = b.index
+            removed[i] = b.removed
+            if b.removed:
+                continue
+            constant[i] = b.constant
+            sizes[i] = b.size
+            m = b.manifold
+            if m is None or isinstance(m, EuclideanManifold):
+                tsizes[i] = sizes[i]
+            else:
+                tsizes[i] = m.tangent_size
+                mid = manifold_index.get(m)
+                if mid is None:
+                    mid = len(manifolds)
+                    manifold_index[m] = mid
+                    manifolds.append(m)
+                manifold_ids[i] = mid
+        self._col_removed = removed
+        self._col_constant = constant
+        self._col_manifold_ids = manifold_ids
+        self._manifold_objects = manifolds
+        return removed, constant, sizes, tsizes, manifold_ids
+
     def _build_layout(self):
         """Class-contiguous layout: blocks are grouped by ambient size in the
         state vector and by tangent size in the tangent vector, so every
@@ -177,101 +213,92 @@ class Program:
         measured ~7x slower than row takes at BA scale)."""
         blocks = self._blocks
         nb = len(blocks)
-        self.x_offsets = np.zeros(nb, dtype=np.int64)
-        self.t_offsets = np.zeros(nb, dtype=np.int64)
-        self.sizes = np.zeros(nb, dtype=np.int64)
-        self.tangent_sizes = np.zeros(nb, dtype=np.int64)
-        for b in blocks:
-            if b.removed:
-                continue
-            self.sizes[b.index] = b.size
-            self.tangent_sizes[b.index] = b.tangent_size
+        removed, constant, sizes, tsizes, _ = self._collect_block_arrays()
+        self.sizes = sizes
+        self.tangent_sizes = tsizes
+        live = ~removed
+        free = live & ~constant
 
         # tangent classes first: key = tangent size, over free blocks
-        self.tangent_class_sizes = sorted(
-            {b.tangent_size for b in blocks if not b.removed and not b.constant}
-        )
+        self.tangent_class_sizes = sorted(set(tsizes[free].tolist()))
         self.tangent_class_of_size = {
             s: i for i, s in enumerate(self.tangent_class_sizes)
         }
+        t_size_keys = np.asarray(self.tangent_class_sizes, dtype=np.int64)
         self.t_class = np.full(nb, -1, dtype=np.int64)
+        if t_size_keys.size:
+            self.t_class[free] = np.searchsorted(t_size_keys, tsizes[free])
+        # class rows assigned in (degree, id) order — see
+        # _compute_block_degrees. Vectorized rank-within-class.
         self.t_row = np.full(nb, -1, dtype=np.int64)
-        t_counts = [0] * len(self.tangent_class_sizes)
-        # class rows assigned in (degree, id) order — see _compute_block_degrees
-        free_ids = [b.index for b in blocks if not b.removed and not b.constant]
-        free_ids.sort(key=lambda i: (int(self.block_degree[i]), i))
-        for i in free_ids:
-            b = blocks[i]
-            c = self.tangent_class_of_size[b.tangent_size]
-            self.t_class[i] = c
-            self.t_row[i] = t_counts[c]
-            t_counts[c] += 1
+        free_ids = np.nonzero(free)[0]
+        order = free_ids[
+            np.lexsort((free_ids, self.block_degree[free_ids]))
+        ]  # sorted by (degree, id)
+        cls_of_order = self.t_class[order]
+        t_counts = [int(np.sum(cls_of_order == c)) for c in range(t_size_keys.size)]
+        # rank within class along the (degree, id) order
+        rank = np.empty(order.size, dtype=np.int64)
+        csort = np.argsort(cls_of_order, kind="stable")
+        pos = np.empty(order.size, dtype=np.int64)
+        pos[csort] = np.arange(order.size)
+        bases = np.concatenate([[0], np.cumsum(t_counts)])
+        rank = pos - bases[cls_of_order]
+        self.t_row[order] = rank
         self.tangent_class_counts = t_counts
 
         # ambient classes: key = ambient size, over all live blocks. Where an
         # ambient class consists entirely of free blocks of one tangent
         # class, its rows are ALIGNED to the tangent class rows so the same
         # bucket layout serves state gathers and tangent reductions.
-        self.ambient_class_sizes = sorted(
-            {b.size for b in blocks if not b.removed}
-        )
+        self.ambient_class_sizes = sorted(set(sizes[live].tolist()))
         self.ambient_class_of_size = {
             s: i for i, s in enumerate(self.ambient_class_sizes)
         }
+        a_size_keys = np.asarray(self.ambient_class_sizes, dtype=np.int64)
         self.a_class = np.full(nb, -1, dtype=np.int64)
+        if a_size_keys.size:
+            self.a_class[live] = np.searchsorted(a_size_keys, sizes[live])
         self.a_row = np.full(nb, -1, dtype=np.int64)
-        a_counts = [0] * len(self.ambient_class_sizes)
-        members_per_aclass: list[list[int]] = [
-            [] for _ in self.ambient_class_sizes
+        a_counts = [
+            int(np.sum(self.a_class[live] == c))
+            for c in range(a_size_keys.size)
         ]
-        for b in blocks:
-            if b.removed:
-                continue
-            c = self.ambient_class_of_size[b.size]
-            self.a_class[b.index] = c
-            members_per_aclass[c].append(b.index)
         self.ambient_aligned = [False] * len(self.ambient_class_sizes)
-        for c, members in enumerate(members_per_aclass):
-            a_counts[c] = len(members)
-            t_cls = {int(self.t_class[i]) for i in members}
+        for c in range(a_size_keys.size):
+            members = np.nonzero(live & (self.a_class == c))[0]
+            t_cls = np.unique(self.t_class[members])
             if (
-                members
-                and -1 not in t_cls
-                and len(t_cls) == 1
+                members.size
+                and t_cls.size == 1
+                and t_cls[0] >= 0
                 # bijection: the tangent class must consist of exactly this
                 # ambient class's blocks (another ambient class could share
                 # the same tangent size, e.g. via a manifold)
-                and self.tangent_class_counts[next(iter(t_cls))] == len(members)
+                and self.tangent_class_counts[int(t_cls[0])] == members.size
             ):
                 self.ambient_aligned[c] = True
-                for i in members:
-                    self.a_row[i] = self.t_row[i]
+                self.a_row[members] = self.t_row[members]
             else:
-                for r, i in enumerate(members):
-                    self.a_row[i] = r
+                self.a_row[members] = np.arange(members.size)
         self.ambient_class_counts = a_counts
         self.ambient_class_bases = np.concatenate(
             [[0], np.cumsum([c * s for c, s in zip(a_counts, self.ambient_class_sizes)])]
         ).astype(np.int64)
-        for b in blocks:
-            if b.removed:
-                continue
-            c = int(self.a_class[b.index])
-            self.x_offsets[b.index] = (
-                self.ambient_class_bases[c] + self.a_row[b.index] * b.size
-            )
+        self.x_offsets = np.zeros(nb, dtype=np.int64)
+        self.x_offsets[live] = (
+            self.ambient_class_bases[self.a_class[live]]
+            + self.a_row[live] * sizes[live]
+        )
         self.num_parameters = int(self.ambient_class_bases[-1])
         self.tangent_class_bases = np.concatenate(
             [[0], np.cumsum([c * s for c, s in zip(t_counts, self.tangent_class_sizes)])]
         ).astype(np.int64)
-        for b in blocks:
-            if b.removed or b.constant:
-                self.t_offsets[b.index] = -1
-            else:
-                c = int(self.t_class[b.index])
-                self.t_offsets[b.index] = (
-                    self.tangent_class_bases[c] + self.t_row[b.index] * b.tangent_size
-                )
+        self.t_offsets = np.full(nb, -1, dtype=np.int64)
+        self.t_offsets[free] = (
+            self.tangent_class_bases[self.t_class[free]]
+            + self.t_row[free] * tsizes[free]
+        )
         self.num_effective_parameters = int(self.tangent_class_bases[-1])
 
         self.state0 = np.zeros(self.num_parameters, dtype=np.float64)
@@ -338,55 +365,42 @@ class Program:
         """Row-based Plus: per ambient class, Euclidean free blocks add
         their delta rows (row gather from the tangent class table, constants
         map to a zero dump row); manifold blocks are batched per manifold
-        and their rows overwritten (reference: Program::Plus, program.cc)."""
-        # per ambient class: tangent-class row of each ambient row (Euclidean
-        # free blocks only; constants/manifold rows -> dump)
-        self.plus_euclid = []  # list over ambient classes: dict | None
-        per_class_map = [
-            np.full(cnt, -1, dtype=np.int64)
-            for cnt in self.ambient_class_counts
-        ]
-        class_has_euclid = [False] * len(self.ambient_class_counts)
-        mgroups: dict = {}
-        for b in self._blocks:
-            if b.removed or b.constant:
-                continue
-            m = b.manifold
-            a_c, a_r = int(self.a_class[b.index]), int(self.a_row[b.index])
-            if m is None or isinstance(m, EuclideanManifold):
-                per_class_map[a_c][a_r] = self.t_row[b.index]
-                class_has_euclid[a_c] = True
-            else:
-                rec = mgroups.setdefault(m, {"a_rows": [], "t_rows": []})
-                rec["a_rows"].append(a_r)
-                rec["t_rows"].append(int(self.t_row[b.index]))
-                rec.setdefault("a_cls", a_c)
-                rec.setdefault("t_cls", int(self.t_class[b.index]))
+        and their rows overwritten (reference: Program::Plus, program.cc).
+        Fully vectorized over the collected block columns."""
+        removed = self._col_removed
+        constant = self._col_constant
+        mids = self._col_manifold_ids
+        free = ~removed & ~constant
+        euclid = free & (mids < 0)
 
+        self.plus_euclid = []  # list over ambient classes: dict | None
         for a_c, cnt in enumerate(self.ambient_class_counts):
-            if not class_has_euclid[a_c]:
+            sel = euclid & (self.a_class == a_c)
+            if not sel.any():
                 self.plus_euclid.append(None)
                 continue
             size = self.ambient_class_sizes[a_c]
             t_cls = self.tangent_class_of_size[size]
             dump = self.tangent_class_counts[t_cls]
-            rows = np.where(per_class_map[a_c] >= 0, per_class_map[a_c], dump)
+            rows = np.full(cnt, dump, dtype=np.int64)
+            rows[self.a_row[sel]] = self.t_row[sel]
             self.plus_euclid.append(
                 {"t_cls": t_cls, "t_row_map": rows.astype(np.int32)}
             )
 
         self.manifold_group_meta: list[ManifoldGroupMeta] = []
         self.manifold_group_idx: list[dict] = []
-        for m, rec in mgroups.items():
-            self.manifold_group_meta.append(
-                ManifoldGroupMeta(m, len(rec["a_rows"]))
-            )
+        for mid, m in enumerate(self._manifold_objects):
+            idx = np.nonzero(free & (mids == mid))[0]
+            if idx.size == 0:
+                continue
+            self.manifold_group_meta.append(ManifoldGroupMeta(m, int(idx.size)))
             self.manifold_group_idx.append(
                 {
-                    "a_cls": rec["a_cls"],
-                    "t_cls": rec["t_cls"],
-                    "a_rows": np.asarray(rec["a_rows"], dtype=np.int32),
-                    "t_rows": np.asarray(rec["t_rows"], dtype=np.int32),
+                    "a_cls": int(self.a_class[idx[0]]),
+                    "t_cls": int(self.t_class[idx[0]]),
+                    "a_rows": self.a_row[idx].astype(np.int32),
+                    "t_rows": self.t_row[idx].astype(np.int32),
                 }
             )
 
@@ -418,7 +432,8 @@ class Program:
         # verifying uniformity.
         buckets: dict = {}
         order: list = []
-        self._handle_map: dict = {}  # (batch_idx, row) -> (group_idx, group_row)
+        # per-batch (group_idx array, group_row array) indexed by batch row
+        self._handle_arrays: dict = {}
 
         for bi, batch in enumerate(self._batches):
             alive_rows = np.nonzero(batch.alive)[0]
@@ -554,22 +569,38 @@ class Program:
                 }
             )
 
-            # handle bookkeeping (accounting for the seg_reduce row perm)
+            # handle bookkeeping (accounting for the layout row perm),
+            # vectorized: per-batch arrays mapping batch row -> group row
             inv = None
             if perm is not None:
                 inv = np.empty_like(perm)
                 inv[perm] = np.arange(len(perm))
             grow = 0
             for bi, rows in members:
-                for r in rows:
-                    dest = grow if inv is None else int(inv[grow])
-                    self._handle_map[(bi, int(r))] = (gi, dest)
-                    grow += 1
+                m = len(rows)
+                dest = np.arange(grow, grow + m)
+                if inv is not None:
+                    dest = inv[dest]
+                nrows_b = self._batches[bi].param_ids.shape[0]
+                if bi not in self._handle_arrays:
+                    self._handle_arrays[bi] = (
+                        np.full(nrows_b, -1, dtype=np.int64),
+                        np.full(nrows_b, -1, dtype=np.int64),
+                    )
+                gi_arr, grow_arr = self._handle_arrays[bi]
+                gi_arr[rows] = gi
+                grow_arr[rows] = dest
+                grow += m
 
             row_offset += meta.rows
 
         self.num_residuals = row_offset
         self.num_residual_blocks = sum(g.n for g in self.groups)
+
+    def handle_entry(self, bi: int, row: int):
+        """(group_idx, group_row) of a residual block by (batch, batch-row)."""
+        gi_arr, grow_arr = self._handle_arrays[bi]
+        return int(gi_arr[row]), int(grow_arr[row])
 
     def _seg_buckets(self, sorted_rows: np.ndarray):
         """Bucket decomposition of a class-row-sorted row array.
