@@ -47,18 +47,22 @@ import numpy as np
 # plan-based gather / reduce primitives (shared with schur.py)
 # ---------------------------------------------------------------------- #
 
-# Lanes per slice in chunked products/evaluation. Bounds XLA fusion temps
-# and one-hot matmul operands (an [81, n] f32 operand at BAL-13682 scale
-# (29M observations) is 9.4 GB unchunked, and the batched-pushforward
-# fusion temps reach 27 GB — measured OOM on 16 GB v5e). ~0.93 GB of
-# fusion temps per million lanes; 6M lanes ≈ 5.6 GB, and BAL-1778 (5M
-# observations) stays single-slice.
+# Lane chunking bounds XLA fusion temporaries and one-hot matmul operands
+# (an [81, n] f32 operand at BAL-13682 scale (29M observations) is 9.4 GB
+# unchunked, and the batched-pushforward fusion temps reach 27 GB —
+# measured OOM on 16 GB v5e; ~0.93 GB of temps per million lanes).
+# Groups up to LANE_CHUNK run single-slice (BAL-1778's 5M observations);
+# larger groups use LANE_CHUNK_LARGE slices, leaving headroom for the
+# resident Jacobian (measured: BAL-13682 fits and evaluates in 649 ms on
+# one v5e with 2M slices).
 LANE_CHUNK = 6_291_456
+LANE_CHUNK_LARGE = 2_097_152
 
 
 def lane_chunks(n: int, chunk: int = None):
     """[(start, size)] covering [0, n) in chunk-sized slices."""
-    chunk = chunk or LANE_CHUNK
+    if chunk is None:
+        chunk = LANE_CHUNK if n <= LANE_CHUNK else LANE_CHUNK_LARGE
     if n <= chunk:
         return [(0, n)]
     return [(s, min(chunk, n - s)) for s in range(0, n, chunk)]
