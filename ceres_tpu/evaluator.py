@@ -105,7 +105,7 @@ def _group_eval(
     state_2d,
     with_jacobian: bool,
     apply_loss: bool,
-    sharded: bool = False,
+    axis_name=None,
 ):
     """Evaluate one signature group. Returns (cost, res [r,n], jacs tuple of
     [r*t, n]) in the transposed SoA layout (see jacobian.py).
@@ -122,12 +122,13 @@ def _group_eval(
     ranges = lane_chunks(n_total)
     if len(ranges) == 1:
         return _group_eval_range(
-            meta, garr, state_2d, with_jacobian, apply_loss, sharded, 0, n_total
+            meta, garr, state_2d, with_jacobian, apply_loss, axis_name,
+            0, n_total,
         )
     costs, ress, jacss = [], [], []
     for (s, sz) in ranges:
         c, r, j = _group_eval_range(
-            meta, garr, state_2d, with_jacobian, apply_loss, sharded, s, sz
+            meta, garr, state_2d, with_jacobian, apply_loss, axis_name, s, sz
         )
         costs.append(c)
         ress.append(r)
@@ -142,28 +143,33 @@ def _group_eval(
 
 
 def _group_eval_range(
-    meta, garr, state_2d, with_jacobian, apply_loss, sharded, start, size
+    meta, garr, state_2d, with_jacobian, apply_loss, axis_name, start, size
 ):
     """Evaluate lanes [start, start+size) of one signature group.
 
     state_2d: per-ambient-class [count, size] tables. Parameter gathers are
     row takes, except the owner position whose interleaved bucket layout
-    makes the gather a slice+broadcast (no gather at all).
+    makes the gather a slice+broadcast (no gather at all; the sharded
+    variant slices the shard's own entity window by axis_index).
     """
     from .jacobian import gather_T
+
+    sharded = axis_name is not None
 
     end = start + size
     params = []
     for pos, (pm, rows) in enumerate(zip(meta.positions, garr["a_rows"])):
-        plan = (meta.red_plans or {}).get(pos)
+        if sharded:
+            plan = (meta.shard_red_plans or {}).get(pos)
+        else:
+            plan = (meta.red_plans or {}).get(pos)
         if (
-            not sharded
-            and pos == meta.owner
+            pos == meta.owner
             and meta.owner_ambient_aligned
             and plan is not None
-            and plan[0] == "bucket"
+            and plan[0] in ("bucket", "bucket_sharded")
         ):
-            full = gather_T(plan, state_2d[pm.a_cls], rows)
+            full = gather_T(plan, state_2d[pm.a_cls], rows, axis_name)
             params.append(full[:, start:end].T)
         else:
             params.append(jnp.take(state_2d[pm.a_cls], rows[start:end], axis=0))
@@ -234,12 +240,7 @@ def evaluate(
 
     for meta, garr in zip(program.groups, arrays["groups"]):
         cost_g, res, jacs = _group_eval(
-            meta,
-            garr,
-            state_2d,
-            with_jacobian,
-            apply_loss,
-            sharded=axis_name is not None,
+            meta, garr, state_2d, with_jacobian, apply_loss, axis_name
         )
         total_cost = total_cost + cost_g
         res_groups.append(res)

@@ -68,12 +68,17 @@ def lane_chunks(n: int, chunk: int = None):
     return [(s, min(chunk, n - s)) for s in range(0, n, chunk)]
 
 
-def gather_T(plan, table, rows):
+def gather_T(plan, table, rows, axis_name=None):
     """Gather class-table rows into transposed form [s, n].
 
     table: [cnt(+dump), s] row-major class table.
     rows:  [n] class-row indices (used by the one-hot/fallback paths).
     plan:  ("bucket", buckets) -> slice+broadcast (no gather);
+           ("bucket_sharded", buckets) -> per-shard dynamic slice+broadcast
+               (column base = out_row + axis_index*per_e; reads past the
+               shard's real entities land on neighbor rows or the clamped
+               table edge — those lanes are masked pads, so any value is
+               fine);
            ("onehot",) -> one-hot matmul on the MXU (avoids the tile-padded
                [n, s] materialization of an XLA row gather);
            otherwise -> jnp.take + transpose.
@@ -88,6 +93,21 @@ def gather_T(plan, table, rows):
                 )
             )
         return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
+    if plan is not None and plan[0] == "bucket_sharded":
+        sidx = jax.lax.axis_index(axis_name)
+        nrows, s = table.shape
+        parts = []
+        for (local_start, per_e, d, out_row) in plan[1]:
+            col = jnp.minimum(out_row + sidx * per_e, nrows - per_e)
+            seg = jax.lax.dynamic_slice(
+                table, (col, jnp.zeros_like(col)), (per_e, s)
+            ).T
+            parts.append(
+                jnp.broadcast_to(seg[:, None, :], (s, d, per_e)).reshape(
+                    s, d * per_e
+                )
+            )
+        return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
     if plan is not None and plan[0] == "onehot":
         onehot = jax.nn.one_hot(rows, table.shape[0], dtype=table.dtype, axis=0)
         return jnp.einsum(
@@ -96,12 +116,17 @@ def gather_T(plan, table, rows):
     return jnp.take(table, rows, axis=0).T
 
 
-def reduce_T(plan, contrib, rows, num_out):
-    """Segment-reduce transposed contributions [k, n] -> [k, num_out].
+def reduce_T(plan, contrib, rows, num_out, axis_name=None):
+    """Segment-reduce transposed contributions [k, n] -> [k, num_out(+pad)].
 
     num_out includes the dump column (constant blocks). plan:
       ("bucket", buckets): reshape+sum per bucket (no scatter);
-      ("onehot",): one-hot matmul on the MXU;
+      ("bucket_sharded", buckets): per-shard reshape+sum written at column
+          out_row + axis_index*per_e with read-modify-write accumulation
+          (shard column ranges may abut); output gains SHARD_COL_PAD extra
+          columns absorbing trailing-shard overhang — the caller's flatten
+          drops them;
+      ("onehot",): one-hot matmul on the MXU (lane-chunked);
       ("segsum",) / None: transpose + segment_sum.
     """
     k = contrib.shape[0]
@@ -112,6 +137,19 @@ def reduce_T(plan, contrib, rows, num_out):
             if d > 1:
                 seg = seg.reshape(k, d, n_seg).sum(axis=1)
             out = jax.lax.dynamic_update_slice(out, seg, (0, out_row))
+        return out
+    if plan is not None and plan[0] == "bucket_sharded":
+        sidx = jax.lax.axis_index(axis_name)
+        out = jnp.zeros((k, num_out), contrib.dtype)
+        zero = jnp.zeros((), sidx.dtype)
+        for (local_start, per_e, d, out_row) in plan[1]:
+            seg = contrib[:, local_start : local_start + per_e * d]
+            if d > 1:
+                seg = seg.reshape(k, d, per_e).sum(axis=1)
+            col = out_row + sidx * per_e
+            zc = jnp.zeros_like(col)
+            cur = jax.lax.dynamic_slice(out, (zc, col), (k, per_e))
+            out = jax.lax.dynamic_update_slice(out, cur + seg, (zc, col))
         return out
     if plan is not None and plan[0] == "onehot":
         # lane-chunked: each chunk's one-hot matmul operand slice keeps the
@@ -137,7 +175,15 @@ def reduce_T(plan, contrib, rows, num_out):
 class BlockJacobian:
     """Per-(group, position) Jacobian blocks stored as [r*t, n] arrays."""
 
-    def __init__(self, program, jac_groups, t_rows, axis_name=None, positions=None):
+    def __init__(
+        self,
+        program,
+        jac_groups,
+        t_rows,
+        axis_name=None,
+        positions=None,
+        shard_view=False,
+    ):
         self.program = program
         self.jac_groups = jac_groups  # tuple over groups of tuple over pos: [r*t, n]
         self.t_rows = t_rows  # tuple over groups of tuple over pos [n]
@@ -145,19 +191,24 @@ class BlockJacobian:
         if positions is None:
             positions = tuple(tuple(range(len(jacs))) for jacs in jac_groups)
         self.positions = positions
+        # True when the leaves are the GLOBAL view of shard-ordered arrays
+        # (outside shard_map): neither the global bucket plan (wrong lane
+        # order) nor the shard plan (needs axis_index) applies.
+        self.shard_view = shard_view
 
     # -- pytree protocol ------------------------------------------------ #
 
     def tree_flatten(self):
         children = (self.jac_groups, self.t_rows)
-        aux = (self.program, self.axis_name, self.positions)
+        aux = (self.program, self.axis_name, self.positions, self.shard_view)
         return children, aux
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        program, axis_name, positions = aux
+        program, axis_name, positions = aux[0], aux[1], aux[2]
+        shard_view = aux[3] if len(aux) > 3 else False
         jac_groups, t_rows = children
-        return cls(program, jac_groups, t_rows, axis_name, positions)
+        return cls(program, jac_groups, t_rows, axis_name, positions, shard_view)
 
     @classmethod
     def build(cls, program, arrays, jac_groups, axis_name=None):
@@ -181,6 +232,7 @@ class BlockJacobian:
             tuple(t_rows),
             self.axis_name,
             tuple(positions),
+            self.shard_view,
         )
 
     # -- shapes / plumbing ------------------------------------------------ #
@@ -216,21 +268,42 @@ class BlockJacobian:
             yield vpos, pm, jac, tr
 
     def plan(self, gi, vpos):
-        """Reduction/gather plan for (group, view-position). Bucket plans
-        describe the unpadded global lane layout; they degrade to
-        segment_sum on shard-local lane slices (axis_name set) and on
-        padded global views (lane count != meta.n, e.g. the sharded
-        evaluator's ndev-multiple padding)."""
+        """Reduction/gather plan for (group, view-position).
+
+        Under shard_map (axis_name set) the owner position uses the
+        shard-local bucket plan published by build_sharded_arrays
+        (program.build_shard_layout); one-hot plans shard as-is. Global
+        bucket plans describe the unpadded single-device lane layout and
+        degrade to segment_sum on any other view (shard-local slices
+        without a shard layout, or padded global views)."""
         meta = self.program.groups[gi]
+        pos = self.positions[gi][vpos]
+        if self.axis_name is not None:
+            splans = meta.shard_red_plans or {}
+            if pos in splans:
+                return splans[pos]
         plans = meta.red_plans or {}
-        plan = plans.get(self.positions[gi][vpos])
+        plan = plans.get(pos)
         if (
             plan is not None
             and plan[0] == "bucket"
-            and (self.axis_name is not None or self._group_n(gi) != meta.n)
+            and (
+                self.axis_name is not None
+                or self.shard_view
+                or self._group_n(gi) != meta.n
+            )
         ):
             return ("segsum",)
         return plan
+
+    def _col_pad(self) -> int:
+        """Extra accumulator columns absorbing sharded-bucket overhang
+        (trailing shards write up to ndev-1 columns past the dump)."""
+        if self.axis_name is None:
+            return 0
+        return max(
+            (meta.shard_ndev or 0) for meta in self.program.groups
+        ) if self.program.groups else 0
 
     def _v_tables(self, v):
         from .evaluator import tangent_tables
@@ -238,17 +311,24 @@ class BlockJacobian:
         return tangent_tables(self.program, v, pad_zero_row=True)
 
     def _class_tables_T(self):
-        """Zero per-class accumulators in transposed form [s, cnt+1]."""
+        """Zero per-class accumulators in transposed form
+        [s, cnt+1+col_pad] (dump column + sharded-bucket overhang pad)."""
         p = self.program
         dtype = self._dtype()
+        pad = 1 + self._col_pad()
         return [
-            jnp.zeros((s, cnt + 1), dtype)
+            jnp.zeros((s, cnt + pad), dtype)
             for cnt, s in zip(p.tangent_class_counts, p.tangent_class_sizes)
         ]
 
     def _flatten_classes_T(self, tables):
-        """[s, cnt+1] per class -> flat tangent vector (drop dump column)."""
-        parts = [t[:, :-1].T.reshape(-1) for t in tables]
+        """[s, cnt+1+pad] per class -> flat tangent vector (drop dump/pad
+        columns)."""
+        p = self.program
+        parts = [
+            t[:, :cnt].T.reshape(-1)
+            for t, cnt in zip(tables, p.tangent_class_counts)
+        ]
         if not parts:
             return jnp.zeros(0, self._dtype())
         return jnp.concatenate(parts)
@@ -271,7 +351,9 @@ class BlockJacobian:
                 if pm.t_cls < 0:
                     continue
                 t = pm.tangent_size
-                vg = gather_T(self.plan(gi, vpos), vt[pm.t_cls], tr)  # [t, n]
+                vg = gather_T(
+                    self.plan(gi, vpos), vt[pm.t_cls], tr, self.axis_name
+                )  # [t, n]
                 acc = acc + (jac.reshape(r, t, n) * vg[None]).sum(axis=1)
             out.append(acc)
         return out
@@ -296,7 +378,11 @@ class BlockJacobian:
                 cnt = self.program.tangent_class_counts[pm.t_cls]
                 contrib = (jac.reshape(r, t, n) * u[:, None, :]).sum(axis=0)
                 acc[pm.t_cls] = acc[pm.t_cls] + reduce_T(
-                    self.plan(gi, vpos), contrib, tr, cnt + 1
+                    self.plan(gi, vpos),
+                    contrib,
+                    tr,
+                    acc[pm.t_cls].shape[1],
+                    self.axis_name,
                 )
         return self._psum(self._flatten_classes_T(acc))
 
@@ -325,7 +411,11 @@ class BlockJacobian:
                 cnt = self.program.tangent_class_counts[pm.t_cls]
                 j3 = jac.reshape(r, t, n)
                 acc[pm.t_cls] = acc[pm.t_cls] + reduce_T(
-                    self.plan(gi, vpos), (j3 * j3).sum(axis=0), tr, cnt + 1
+                    self.plan(gi, vpos),
+                    (j3 * j3).sum(axis=0),
+                    tr,
+                    acc[pm.t_cls].shape[1],
+                    self.axis_name,
                 )
         return self._psum(self._flatten_classes_T(acc))
 
@@ -344,7 +434,9 @@ class BlockJacobian:
                     jacs.append(jac)
                     continue
                 t = pm.tangent_size
-                sg = gather_T(self.plan(gi, vpos), st[pm.t_cls], tr)  # [t, n]
+                sg = gather_T(
+                    self.plan(gi, vpos), st[pm.t_cls], tr, self.axis_name
+                )  # [t, n]
                 jacs.append(
                     (jac.reshape(r, t, n) * sg[None]).reshape(r * t, n)
                 )
@@ -355,6 +447,7 @@ class BlockJacobian:
             self.t_rows,
             self.axis_name,
             self.positions,
+            self.shard_view,
         )
 
     # -- block-diagonal J^T J  ------------------------------------------- #
@@ -369,8 +462,9 @@ class BlockJacobian:
         """
         p = self.program
         dtype = self._dtype()
+        col_pad = 1 + self._col_pad()
         per_class = [
-            jnp.zeros((s * s, cnt + 1), dtype)
+            jnp.zeros((s * s, cnt + col_pad), dtype)
             for cnt, s in zip(p.tangent_class_counts, p.tangent_class_sizes)
         ]
         for gi in range(len(self.jac_groups)):
@@ -387,7 +481,11 @@ class BlockJacobian:
                 j3 = jac.reshape(r, t, n)
                 outer = (j3[:, :, None, :] * j3[:, None, :, :]).sum(axis=0)
                 per_class[pm.t_cls] = per_class[pm.t_cls] + reduce_T(
-                    self.plan(gi, vpos), outer.reshape(t * t, n), tr, cnt + 1
+                    self.plan(gi, vpos),
+                    outer.reshape(t * t, n),
+                    tr,
+                    per_class[pm.t_cls].shape[1],
+                    self.axis_name,
                 )
         out = []
         if dsq is not None:
@@ -396,7 +494,8 @@ class BlockJacobian:
             dt = tangent_tables(p, dsq)
         for cls, acc in enumerate(per_class):
             s = p.tangent_class_sizes[cls]
-            acc = self._psum(acc[:, :-1])  # [s*s, cnt]
+            cnt = p.tangent_class_counts[cls]
+            acc = self._psum(acc[:, :cnt])  # [s*s, cnt]
             if dsq is not None:
                 diag_rows = np.arange(s) * s + np.arange(s)
                 acc = acc.at[diag_rows, :].add(dt[cls].T)

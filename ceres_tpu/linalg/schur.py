@@ -91,6 +91,7 @@ def schur_jacobi_blocks(program, jac_e, jac_f, ete_solver, dsq_f):
             jac_e.plan(gi, 0),
             ete_solver.inv_tables[e_pm.t_cls].T,
             jac_e.t_rows[gi][0],
+            jac_e.axis_name,
         ).reshape(te, te, n)
         ej = jac_e.jac_groups[gi][0].reshape(r, te, n)
         for vpos, (f_jac, f_tr) in enumerate(
@@ -109,9 +110,13 @@ def schur_jacobi_blocks(program, jac_e, jac_f, ete_solver, dsq_f):
             # corr[p, q] = sum_a etf[a, p] minvetf[a, q]
             corr = (etf[:, :, None, :] * minvetf[:, None, :, :]).sum(axis=0)
             table = reduce_T(
-                jac_f.plan(gi, vpos), corr.reshape(tf * tf, n), f_tr, cnt + 1
+                jac_f.plan(gi, vpos),
+                corr.reshape(tf * tf, n),
+                f_tr,
+                cnt + 1 + jac_f._col_pad(),
+                jac_f.axis_name,
             )
-            corrections[pm.t_cls] = corrections[pm.t_cls] + table[:, :-1]
+            corrections[pm.t_cls] = corrections[pm.t_cls] + table[:, :cnt]
     out = []
     for cls in range(len(ftf)):
         # corrections are shard-local partial sums; ftf was already psummed

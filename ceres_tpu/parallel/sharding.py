@@ -42,42 +42,61 @@ def _pad_rows(a: np.ndarray, target: int, pad_value=0):
 
 
 def build_sharded_arrays(program, mesh: Mesh, axis: str, dtype=None):
-    """Pad each group to a multiple of the mesh axis size, add validity
-    masks, and lay out the group tensors with batch-axis sharding."""
+    """Lay out each group's tensors in the shard-aware lane order (see
+    Program.build_shard_layout): shard-major lanes, each shard's slice in
+    its own interleaved bucket order so the scatter-free reduction plans
+    survive sharding; masked pad lanes fill the per-shard remainders."""
     dtype = dtype or default_dtype()
     ndev = mesh.shape[axis]
     num_eff = program.num_effective_parameters
+    layouts = program.build_shard_layout(ndev)
 
     groups = []
-    for meta, idx in zip(program.groups, program.group_idx):
-        n = meta.n
-        per = -(-n // ndev)
-        target = per * ndev
+    for gi, (meta, idx) in enumerate(zip(program.groups, program.group_idx)):
+        lay = layouts[gi]
+        perm = lay["perm"]
+        valid = perm >= 0
+        src = perm[valid]
+
+        def take_perm(a, fill):
+            a = np.asarray(a)
+            out = np.full((perm.size,) + a.shape[1:], fill, dtype=a.dtype)
+            out[valid] = a[src]
+            return out
+
         t_rows_padded = []
         for pos, pm in enumerate(meta.positions):
-            tr = np.asarray(idx["t_rows"][pos])
             dump = (
                 program.tangent_class_counts[pm.t_cls] if pm.t_cls >= 0 else 0
             )
-            t_rows_padded.append(jnp.asarray(_pad_rows(tr, target, dump)))
+            t_rows_padded.append(
+                jnp.asarray(take_perm(idx["t_rows"][pos], dump))
+            )
         g = {
             "a_rows": tuple(
-                jnp.asarray(_pad_rows(np.asarray(a), target, 0))
-                for a in idx["a_rows"]
+                jnp.asarray(take_perm(a, 0)) for a in idx["a_rows"]
             ),
             "t_rows": tuple(t_rows_padded),
             "data": tuple(
                 jnp.asarray(
-                    _pad_rows(np.asarray(d), target, 0),
-                    dtype=dtype if np.issubdtype(np.asarray(d).dtype, np.floating) else None,
+                    take_perm(d, 0),
+                    dtype=dtype
+                    if np.issubdtype(np.asarray(d).dtype, np.floating)
+                    else None,
                 )
                 for d in idx["data"]
             ),
-            "mask": jnp.asarray(
-                _pad_rows(np.ones(n, dtype=np.float64), target, 0.0), dtype=dtype
-            ),
+            "mask": jnp.asarray(valid.astype(np.float64), dtype=dtype),
         }
         groups.append(g)
+        # publish the shard-local plans for BlockJacobian.plan()
+        if lay["shard_buckets"] is not None:
+            meta.shard_red_plans = {
+                meta.owner: ("bucket_sharded", lay["shard_buckets"])
+            }
+        else:
+            meta.shard_red_plans = {}
+        meta.shard_ndev = ndev
 
     arrays = {
         "groups": groups,
@@ -222,7 +241,11 @@ class ShardedEvaluator(Evaluator):
         # axis_name=None: outside shard_map the children are global sharded
         # arrays and reductions are ordinary (GSPMD-parallelized) ops;
         # wrap_step_fn rebuilds the axis-local view inside its shard_map.
-        jac = BlockJacobian(self.program, jac_g, t_rows, axis_name=None)
+        # shard_view: the global lane order is shard-major-interleaved, so
+        # the single-device bucket plan must not be applied.
+        jac = BlockJacobian(
+            self.program, jac_g, t_rows, axis_name=None, shard_view=True
+        )
         return cost, res_groups, jac, grad
 
     def plus(self, state, delta):

@@ -69,6 +69,10 @@ class SigGroupMeta:
     # True when the owner position's ambient class rows equal its tangent
     # class rows (so state gathers can use the bucket plan too)
     owner_ambient_aligned: bool = False
+    # shard-local plans published by parallel.sharding.build_sharded_arrays
+    # (see Program.build_shard_layout): {pos: ("bucket_sharded", buckets)}
+    shard_red_plans: Optional[dict] = None
+    shard_ndev: int = 0
 
     @property
     def num_residuals(self) -> int:
@@ -596,6 +600,79 @@ class Program:
 
         self.num_residuals = row_offset
         self.num_residual_blocks = sum(g.n for g in self.groups)
+
+    def build_shard_layout(self, ndev: int):
+        """Shard-aware row layout: per group, a permutation into shard-major
+        lanes where each shard's local slice follows its OWN interleaved
+        bucket order, so the scatter-free bucket plans survive sharding
+        (otherwise multi-chip reductions fall back to XLA scatter, ~230 ms
+        for 5M rows -> 1M segments).
+
+        For each owner bucket (n_seg entities of degree d), entities split
+        into ndev contiguous runs of per_e = ceil(n_seg/ndev); shard s owns
+        class rows [out_row + s*per_e, ...), its local lanes are
+        (local_start + j*per_e + e), and trailing shards carry masked pad
+        lanes. Groups without an owner bucket plan keep their order and pad
+        at the end.
+
+        Returns {gi: dict(perm, lanes_per_shard, shard_buckets)} where perm
+        maps new global lane -> original group row (-1 = pad) and
+        shard_buckets is a tuple of (local_lane_start, per_e, d, out_row)
+        interpreted with column offset out_row + axis_index*per_e.
+        Cached per ndev.
+        """
+        cache = getattr(self, "_shard_layouts", None)
+        if cache is None:
+            cache = self._shard_layouts = {}
+        if ndev in cache:
+            return cache[ndev]
+        layouts = {}
+        for gi, meta in enumerate(self.groups):
+            n = meta.n
+            plan = (meta.red_plans or {}).get(meta.owner)
+            if plan is None or plan[0] != "bucket":
+                per = -(-n // ndev)
+                L = per
+                perm = np.full(L * ndev, -1, dtype=np.int64)
+                perm[:n] = np.arange(n)
+                layouts[gi] = dict(
+                    perm=perm, lanes_per_shard=L, shard_buckets=None
+                )
+                continue
+            buckets = plan[1]
+            # per-shard bucket table + local lane count
+            shard_buckets = []
+            local_start = 0
+            for (lane_start, n_seg, d, out_row) in buckets:
+                per_e = -(-n_seg // ndev)
+                shard_buckets.append((local_start, per_e, d, out_row))
+                local_start += per_e * d
+            L = local_start
+            perm = np.full(L * ndev, -1, dtype=np.int64)
+            for (lane_start, n_seg, d, out_row), (
+                ls,
+                per_e,
+                _d,
+                _o,
+            ) in zip(buckets, shard_buckets):
+                # original lanes of this bucket: lane_start + j*n_seg + e
+                for s in range(ndev):
+                    e0 = s * per_e
+                    e1 = min(e0 + per_e, n_seg)
+                    cnt_e = e1 - e0
+                    if cnt_e <= 0:
+                        continue
+                    # new lanes: s*L + ls + j*per_e + (e - e0)
+                    j = np.arange(d)[:, None]
+                    e = np.arange(e0, e1)[None, :]
+                    src = lane_start + j * n_seg + e
+                    dst = s * L + ls + j * per_e + (e - e0)
+                    perm[dst.reshape(-1)] = src.reshape(-1)
+            layouts[gi] = dict(
+                perm=perm, lanes_per_shard=L, shard_buckets=tuple(shard_buckets)
+            )
+        cache[ndev] = layouts
+        return layouts
 
     def handle_entry(self, bi: int, row: int):
         """(group_idx, group_row) of a residual block by (batch, batch-row)."""
