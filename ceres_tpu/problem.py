@@ -238,6 +238,27 @@ class Problem:
         self._dirty = True
         return handles
 
+    def parameter_blocks_for_residual_block(self, handle: int) -> list:
+        """Parameter-block handles of one residual block.
+
+        reference: Problem::GetParameterBlocksForResidualBlock
+        (problem.h:402)."""
+        bi, row = self._handle_index[int(handle)]
+        return [int(b) for b in self._batches[bi].param_ids[row]]
+
+    def residual_blocks_for_parameter_block(self, block: int) -> list:
+        """Residual-block handles touching one parameter block.
+
+        reference: Problem::GetResidualBlocksForParameterBlock
+        (problem.h:421)."""
+        out = []
+        for batch in self._batches:
+            hits = np.nonzero(
+                batch.alive & (batch.param_ids == int(block)).any(axis=1)
+            )[0]
+            out.extend((batch.first_handle + hits).tolist())
+        return out
+
     def mark_structure_dirty(self):
         """Force recompilation on the next solve — needed after mutating a
         LossFunctionWrapper or other out-of-band structural change."""
