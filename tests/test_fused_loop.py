@@ -49,7 +49,8 @@ def test_rosenbrock_converges(fused):
     assert s.final_cost < 1e-10
 
 
-def test_fused_matches_host_loop_trajectory():
+@pytest.mark.parametrize("nonmono", [False, True])
+def test_fused_matches_host_loop_trajectory(nonmono):
     """Same iteration count, successful-step count, and final cost."""
 
     def run(fused):
@@ -61,6 +62,8 @@ def test_fused_matches_host_loop_trajectory():
                 preconditioner_type=PreconditionerType.SCHUR_JACOBI,
                 max_num_iterations=25,
                 fused_execution=fused,
+                use_nonmonotonic_steps=nonmono,
+                max_consecutive_nonmonotonic_steps=3,
             ),
             problem,
         )
