@@ -11,14 +11,14 @@ from ceres_tpu import LinearSolverType, PreconditionerType, SolverOptions
 from ceres_tpu.io.bal import build_ba_problem, synthetic_bal
 
 bal = synthetic_bal(1778, 993_923, 5_000_000, seed=1,
-                    perturb_points=0.3, perturb_rotation=0.01)
+                    perturb_points=0.5, perturb_rotation=0.02)
 problem, _, _ = build_ba_problem(bal)
 t0 = time.time()
 s = ceres_tpu.solve(
     SolverOptions(
         linear_solver_type=LinearSolverType.ITERATIVE_SCHUR,
         preconditioner_type=PreconditionerType.SCHUR_JACOBI,
-        max_num_iterations=60,
+        max_num_iterations=45,
         max_linear_solver_iterations=20,
         function_tolerance=0.0, gradient_tolerance=0.0, parameter_tolerance=0.0,
     ),

@@ -23,7 +23,6 @@ only ever consumed by further psum-reduced products — see jacobian.py).
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax

@@ -36,7 +36,7 @@ boundaries; one-hot plans shard cleanly).
 
 from __future__ import annotations
 
-from typing import Optional
+
 
 import jax
 import jax.numpy as jnp

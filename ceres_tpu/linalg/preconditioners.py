@@ -14,7 +14,7 @@ Cholesky inverse at build time.
 
 from __future__ import annotations
 
-from typing import Callable, Optional
+
 
 import jax
 import jax.numpy as jnp

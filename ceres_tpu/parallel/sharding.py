@@ -22,7 +22,7 @@ zeroes residuals and Jacobians before any reduction).
 
 from __future__ import annotations
 
-from typing import Optional
+
 
 import jax
 import jax.numpy as jnp

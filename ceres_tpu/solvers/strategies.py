@@ -10,8 +10,7 @@ loop latency".
 
 from __future__ import annotations
 
-import functools
-from typing import Optional
+
 
 import jax
 import jax.numpy as jnp
