@@ -116,7 +116,7 @@ def gather_T(plan, table, rows, axis_name=None):
     return jnp.take(table, rows, axis=0).T
 
 
-def reduce_T(plan, contrib, rows, num_out, axis_name=None):
+def reduce_T(plan, contrib, rows, num_out, axis_name=None, acc_dtype=None):
     """Segment-reduce transposed contributions [k, n] -> [k, num_out(+pad)].
 
     num_out includes the dump column (constant blocks). plan:
@@ -128,22 +128,26 @@ def reduce_T(plan, contrib, rows, num_out, axis_name=None):
           drops them;
       ("onehot",): one-hot matmul on the MXU (lane-chunked);
       ("segsum",) / None: transpose + segment_sum.
+
+    acc_dtype: accumulation/output dtype (mixed precision: bf16 contribs
+    accumulate in f32 — the MXU natively takes bf16 operands with an f32
+    accumulator; the VPU sums cast up first).
     """
     k = contrib.shape[0]
+    acc_dtype = acc_dtype or contrib.dtype
     if plan is not None and plan[0] == "bucket":
-        out = jnp.zeros((k, num_out), contrib.dtype)
+        out = jnp.zeros((k, num_out), acc_dtype)
         for (lane_start, n_seg, d, out_row) in plan[1]:
-            seg = contrib[:, lane_start : lane_start + n_seg * d]
+            seg = contrib[:, lane_start : lane_start + n_seg * d].astype(acc_dtype)
             if d > 1:
                 seg = seg.reshape(k, d, n_seg).sum(axis=1)
             out = jax.lax.dynamic_update_slice(out, seg, (0, out_row))
         return out
     if plan is not None and plan[0] == "bucket_sharded":
         sidx = jax.lax.axis_index(axis_name)
-        out = jnp.zeros((k, num_out), contrib.dtype)
-        zero = jnp.zeros((), sidx.dtype)
+        out = jnp.zeros((k, num_out), acc_dtype)
         for (local_start, per_e, d, out_row) in plan[1]:
-            seg = contrib[:, local_start : local_start + per_e * d]
+            seg = contrib[:, local_start : local_start + per_e * d].astype(acc_dtype)
             if d > 1:
                 seg = seg.reshape(k, d, per_e).sum(axis=1)
             col = out_row + sidx * per_e
@@ -156,7 +160,7 @@ def reduce_T(plan, contrib, rows, num_out, axis_name=None):
         # (possibly virtual) contrib producer fused per chunk instead of
         # materializing a [k, n] buffer (9.4 GB at BAL-13682 scale)
         n = contrib.shape[1]
-        out = jnp.zeros((k, num_out), contrib.dtype)
+        out = jnp.zeros((k, num_out), acc_dtype)
         for (s, sz) in lane_chunks(n):
             onehot = jax.nn.one_hot(
                 rows[s : s + sz], num_out, dtype=contrib.dtype
@@ -165,10 +169,12 @@ def reduce_T(plan, contrib, rows, num_out, axis_name=None):
                 "kn,nc->kc",
                 contrib[:, s : s + sz],
                 onehot,
-                preferred_element_type=contrib.dtype,
+                preferred_element_type=acc_dtype,
             )
         return out
-    return jax.ops.segment_sum(contrib.T, rows, num_segments=num_out).T
+    return jax.ops.segment_sum(
+        contrib.T.astype(acc_dtype), rows, num_segments=num_out
+    ).T
 
 
 @jax.tree_util.register_pytree_node_class
@@ -183,6 +189,7 @@ class BlockJacobian:
         axis_name=None,
         positions=None,
         shard_view=False,
+        col_scale=None,
     ):
         self.program = program
         self.jac_groups = jac_groups  # tuple over groups of tuple over pos: [r*t, n]
@@ -195,11 +202,17 @@ class BlockJacobian:
         # (outside shard_map): neither the global bucket plan (wrong lane
         # order) nor the shard plan (needs axis_index) applies.
         self.shard_view = shard_view
+        # Lazy Jacobi column scaling: J_s = J diag(col_scale) without
+        # rewriting the [r*t, n] leaves (a 480 MB materialization per LM
+        # iteration at BAL-1778 scale). Products apply the diagonal at the
+        # tangent-vector boundary; per-block Gram tables post-scale by the
+        # per-block outer product (every lane of a block shares its scale).
+        self.col_scale = col_scale  # [num_effective_parameters] or None
 
     # -- pytree protocol ------------------------------------------------ #
 
     def tree_flatten(self):
-        children = (self.jac_groups, self.t_rows)
+        children = (self.jac_groups, self.t_rows, self.col_scale)
         aux = (self.program, self.axis_name, self.positions, self.shard_view)
         return children, aux
 
@@ -207,8 +220,12 @@ class BlockJacobian:
     def tree_unflatten(cls, aux, children):
         program, axis_name, positions = aux[0], aux[1], aux[2]
         shard_view = aux[3] if len(aux) > 3 else False
-        jac_groups, t_rows = children
-        return cls(program, jac_groups, t_rows, axis_name, positions, shard_view)
+        jac_groups, t_rows = children[0], children[1]
+        col_scale = children[2] if len(children) > 2 else None
+        return cls(
+            program, jac_groups, t_rows, axis_name, positions, shard_view,
+            col_scale,
+        )
 
     @classmethod
     def build(cls, program, arrays, jac_groups, axis_name=None):
@@ -233,6 +250,7 @@ class BlockJacobian:
             self.axis_name,
             tuple(positions),
             self.shard_view,
+            self.col_scale,
         )
 
     # -- shapes / plumbing ------------------------------------------------ #
@@ -253,6 +271,35 @@ class BlockJacobian:
             for j in jacs:
                 return j.dtype
         return jnp.float32
+
+    def _acc_dtype(self):
+        """Accumulation dtype: bf16 leaves accumulate in f32 (the MXU takes
+        bf16 operands with an f32 accumulator natively)."""
+        dt = self._dtype()
+        return jnp.float32 if dt == jnp.bfloat16 else dt
+
+    def astype(self, dtype):
+        """Cast the [r*t, n] leaves (mixed-precision solves: bf16 leaves
+        halve the HBM traffic and double the MXU rate of every product;
+        reductions still accumulate in f32). reference analog:
+        CUDADenseCholeskyMixedPrecision (dense_cholesky.h:246) — fp32
+        factorization + fp64 refinement; here fp32 is the outer precision
+        and bf16 the inner-product precision, validated by the trust
+        region's own step accept/reject loop."""
+        if dtype == self._dtype():
+            return self
+        jac_groups = tuple(
+            tuple(j.astype(dtype) for j in jacs) for jacs in self.jac_groups
+        )
+        return BlockJacobian(
+            self.program,
+            jac_groups,
+            self.t_rows,
+            self.axis_name,
+            self.positions,
+            self.shard_view,
+            self.col_scale,
+        )
 
     def _group_n(self, gi) -> int:
         """Lane count of group gi (shard-local under sharding)."""
@@ -314,7 +361,7 @@ class BlockJacobian:
         """Zero per-class accumulators in transposed form
         [s, cnt+1+col_pad] (dump column + sharded-bucket overhang pad)."""
         p = self.program
-        dtype = self._dtype()
+        dtype = self._acc_dtype()
         pad = 1 + self._col_pad()
         return [
             jnp.zeros((s, cnt + pad), dtype)
@@ -330,7 +377,7 @@ class BlockJacobian:
             for t, cnt in zip(tables, p.tangent_class_counts)
         ]
         if not parts:
-            return jnp.zeros(0, self._dtype())
+            return jnp.zeros(0, self._acc_dtype())
         return jnp.concatenate(parts)
 
     # -- products --------------------------------------------------------- #
@@ -340,21 +387,30 @@ class BlockJacobian:
 
         reference: BlockSparseMatrix::RightMultiplyAndAccumulate.
         """
+        if self.col_scale is not None:
+            v = v * self.col_scale
         vt = self._v_tables(v)
+        leaf_dt = self._dtype()
+        acc_dt = self._acc_dtype()
         out = []
         for gi in range(len(self.jac_groups)):
             meta = self.program.groups[gi]
             n = self._group_n(gi)
             r = meta.num_residuals
-            acc = jnp.zeros((r, n), self._dtype())
+            acc = jnp.zeros((r, n), acc_dt)
             for vpos, pm, jac, tr in self._iter(gi):
                 if pm.t_cls < 0:
                     continue
                 t = pm.tangent_size
                 vg = gather_T(
-                    self.plan(gi, vpos), vt[pm.t_cls], tr, self.axis_name
-                )  # [t, n]
-                acc = acc + (jac.reshape(r, t, n) * vg[None]).sum(axis=1)
+                    self.plan(gi, vpos),
+                    vt[pm.t_cls].astype(leaf_dt),
+                    tr,
+                    self.axis_name,
+                )  # [t, n], leaf precision
+                acc = acc + (jac.reshape(r, t, n) * vg[None]).sum(axis=1).astype(
+                    acc_dt
+                )
             out.append(acc)
         return out
 
@@ -366,11 +422,13 @@ class BlockJacobian:
         matmul / segment-sum depending on the position's plan.
         """
         acc = self._class_tables_T()
+        leaf_dt = self._dtype()
+        acc_dt = self._acc_dtype()
         for gi in range(len(self.jac_groups)):
             meta = self.program.groups[gi]
             n = self._group_n(gi)
             r = meta.num_residuals
-            u = u_groups[gi]
+            u = u_groups[gi].astype(leaf_dt)
             for vpos, pm, jac, tr in self._iter(gi):
                 if pm.t_cls < 0:
                     continue
@@ -383,8 +441,12 @@ class BlockJacobian:
                     tr,
                     acc[pm.t_cls].shape[1],
                     self.axis_name,
+                    acc_dtype=acc_dt,
                 )
-        return self._psum(self._flatten_classes_T(acc))
+        out = self._psum(self._flatten_classes_T(acc))
+        if self.col_scale is not None:
+            out = out * self.col_scale
+        return out
 
     def jtj_multiply(self, v, dsq=None):
         """(J^T J + diag(dsq)) v — the CGNR/LM normal-equations operator.
@@ -416,13 +478,34 @@ class BlockJacobian:
                     tr,
                     acc[pm.t_cls].shape[1],
                     self.axis_name,
+                    acc_dtype=self._acc_dtype(),
                 )
-        return self._psum(self._flatten_classes_T(acc))
+        out = self._psum(self._flatten_classes_T(acc))
+        if self.col_scale is not None:
+            out = out * self.col_scale * self.col_scale
+        return out
 
     def scale_columns(self, scale):
-        """Return a new BlockJacobian with tangent columns scaled by `scale`
-        (Jacobi scaling; reference: trust_region_minimizer.cc)."""
-        st = self._v_tables(scale)
+        """Return a LAZY column-scaled view J diag(scale) (Jacobi scaling;
+        reference: trust_region_minimizer.cc). The [r*t, n] leaves are
+        shared, not copied; see `col_scale`. Composes multiplicatively."""
+        col_scale = scale if self.col_scale is None else self.col_scale * scale
+        return BlockJacobian(
+            self.program,
+            self.jac_groups,
+            self.t_rows,
+            self.axis_name,
+            self.positions,
+            self.shard_view,
+            col_scale,
+        )
+
+    def materialize_scale(self):
+        """Fold `col_scale` into the leaves (for consumers that read the
+        raw [r*t, n] arrays, e.g. visibility/explicit-Schur assembly)."""
+        if self.col_scale is None:
+            return self
+        st = self._v_tables(self.col_scale)
         new_groups = []
         for gi in range(len(self.jac_groups)):
             meta = self.program.groups[gi]
@@ -461,7 +544,7 @@ class BlockJacobian:
         reference: block_jacobi_preconditioner.cc.
         """
         p = self.program
-        dtype = self._dtype()
+        dtype = self._acc_dtype()
         col_pad = 1 + self._col_pad()
         per_class = [
             jnp.zeros((s * s, cnt + col_pad), dtype)
@@ -486,16 +569,26 @@ class BlockJacobian:
                     tr,
                     per_class[pm.t_cls].shape[1],
                     self.axis_name,
+                    acc_dtype=self._acc_dtype(),
                 )
         out = []
-        if dsq is not None:
-            from .evaluator import tangent_tables
+        from .evaluator import tangent_tables
 
+        if dsq is not None:
             dt = tangent_tables(p, dsq)
+        if self.col_scale is not None:
+            sc = tangent_tables(p, self.col_scale)
         for cls, acc in enumerate(per_class):
             s = p.tangent_class_sizes[cls]
             cnt = p.tangent_class_counts[cls]
             acc = self._psum(acc[:, :cnt])  # [s*s, cnt]
+            if self.col_scale is not None:
+                # every lane of a block shares its scale: post-scale the
+                # reduced Gram table by the per-block outer product
+                scl = sc[cls].T  # [s, cnt]
+                acc = acc * (scl[:, None, :] * scl[None, :, :]).reshape(
+                    s * s, cnt
+                )
             if dsq is not None:
                 diag_rows = np.arange(s) * s + np.arange(s)
                 acc = acc.at[diag_rows, :].add(dt[cls].T)
@@ -529,7 +622,10 @@ class BlockJacobian:
                 cols = jnp.broadcast_to(cols, jl.shape)
                 rr = jnp.broadcast_to(rows, jl.shape)
                 a = a.at[rr, cols].add(jl)
-        return a[:, : self.num_cols]
+        a = a[:, : self.num_cols]
+        if self.col_scale is not None:
+            a = a * self.col_scale[None, :]
+        return a
 
     def to_crs(self):
         """Host-side CRS triple (values, col_indices, row_pointers) over free
@@ -571,6 +667,8 @@ class BlockJacobian:
         rows = np.concatenate(rows_list)
         cols = np.concatenate(cols_list)
         vals = np.concatenate(vals_list)
+        if self.col_scale is not None:
+            vals = vals * np.asarray(self.col_scale)[cols]
         from .io.native import coo_to_crs
 
         perm, row_ptr = coo_to_crs(rows, cols, self.num_rows)

@@ -194,6 +194,9 @@ def solve_sparse_schur(program, options, jac_s, res_groups, grad_s, dsq):
     f_mask = jnp.asarray(f_mask_np, dtype=dtype)
 
     jac_e, jac_f = schur_views(program, jac_s)
+    # the pair-block assembly reads raw [r*t, n] leaves; fold scaling in
+    jac_e = jac_e.materialize_scale()
+    jac_f = jac_f.materialize_scale()
     dsq_e = dsq * e_mask
     dsq_f = dsq * f_mask
     g_e = grad_s * e_mask

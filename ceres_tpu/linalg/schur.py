@@ -70,10 +70,19 @@ def schur_jacobi_blocks(program, jac_e, jac_f, ete_solver, dsq_f):
 
     Returns per-class transposed tables [s*s, count] (jacobian.py layout).
     """
+    from ..evaluator import tangent_tables
     from ..jacobian import gather_T, reduce_T
 
     program = jac_f.program
     ftf = jac_f.block_diag_jtj(dsq=dsq_f)  # per class [s*s, count]
+    # Lazy column scaling (jacobian.py col_scale): the e-side scale is
+    # applied per lane (a free bucket slice for the owner position); the
+    # f-side scale is applied AFTER the reduction — every lane of an
+    # f-block shares its scale, so it factors out of the segment sum.
+    cs = jac_f.col_scale
+    scale_tables = (
+        tangent_tables(program, cs, pad_zero_row=True) if cs is not None else None
+    )
     # correction per group: F^T E M^{-1} E^T F for each residual block, then
     # a plan-reduce into the f-block diagonal.
     corrections = [jnp.zeros_like(b) for b in ftf]
@@ -94,6 +103,14 @@ def schur_jacobi_blocks(program, jac_e, jac_f, ete_solver, dsq_f):
             jac_e.axis_name,
         ).reshape(te, te, n)
         ej = jac_e.jac_groups[gi][0].reshape(r, te, n)
+        if scale_tables is not None:
+            se_lane = gather_T(
+                jac_e.plan(gi, 0),
+                scale_tables[e_pm.t_cls],
+                jac_e.t_rows[gi][0],
+                jac_e.axis_name,
+            )  # [te, n]
+            ej = ej * se_lane[None]
         for vpos, (f_jac, f_tr) in enumerate(
             zip(jac_f.jac_groups[gi], jac_f.t_rows[gi])
         ):
@@ -116,7 +133,13 @@ def schur_jacobi_blocks(program, jac_e, jac_f, ete_solver, dsq_f):
                 cnt + 1 + jac_f._col_pad(),
                 jac_f.axis_name,
             )
-            corrections[pm.t_cls] = corrections[pm.t_cls] + table[:, :cnt]
+            tbl = table[:, :cnt]
+            if scale_tables is not None:
+                stf = scale_tables[pm.t_cls][:cnt].T  # [tf, cnt]
+                tbl = tbl * (stf[:, None, :] * stf[None, :, :]).reshape(
+                    tf * tf, cnt
+                )
+            corrections[pm.t_cls] = corrections[pm.t_cls] + tbl
     out = []
     for cls in range(len(ftf)):
         # corrections are shard-local partial sums; ftf was already psummed
@@ -145,13 +168,22 @@ def schur_solve(program, options, jac_s, res_groups, grad_s, dsq):
 
     ete = make_ete_solver(program, jac_e, dsq_e)
 
+    # Mixed precision (options doc in types.py): the PCG matvec reads bf16
+    # Jacobian copies; reductions accumulate f32; preconditioner, RHS, and
+    # back-substitution stay f32.
+    if getattr(options, "use_mixed_precision_solves", False):
+        jac_e_mv = jac_e.astype(jnp.bfloat16)
+        jac_f_mv = jac_f.astype(jnp.bfloat16)
+    else:
+        jac_e_mv, jac_f_mv = jac_e, jac_f
+
     def s_apply(y):
-        t1 = jac_f.right_multiply(y)  # F y, group residual batches
-        ett1 = jac_e.left_multiply(t1)  # E^T F y
+        t1 = jac_f_mv.right_multiply(y)  # F y, group residual batches
+        ett1 = jac_e_mv.left_multiply(t1)  # E^T F y
         t2 = ete(ett1)
-        et2 = jac_e.right_multiply(t2)  # E t2, residual space
+        et2 = jac_e_mv.right_multiply(t2)  # E t2, residual space
         diff = [a - b for a, b in zip(t1, et2)]
-        return jac_f.left_multiply(diff) + dsq_f * y
+        return jac_f_mv.left_multiply(diff) + dsq_f * y
 
     # rhs = -g_f + F^T E M^{-1} g_e
     t2 = ete(g_e)

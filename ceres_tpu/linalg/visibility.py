@@ -559,6 +559,9 @@ class VisibilityPreconditioner:
             cache[key] = plan
         self.plan = plan
         self.program = program
+        # the assembly reads raw [r*t, n] leaves; fold lazy column scaling in
+        jac_e = jac_e.materialize_scale()
+        jac_f = jac_f.materialize_scale()
         self._build(program, jac_e, jac_f, ete_solver, dsq_f)
 
     # ---------------- assembly ---------------- #

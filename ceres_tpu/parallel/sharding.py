@@ -161,7 +161,9 @@ def jac_pspecs(program, axis: str):
     t_rows = tuple(
         tuple(P(axis) for _ in meta.positions) for meta in program.groups
     )
-    return (jac_groups, t_rows)
+    # third child: col_scale (None for the unscaled Jacobian the evaluator
+    # produces — a None pytree child has no leaves, so no spec either)
+    return (jac_groups, t_rows, None)
 
 
 def res_groups_pspecs(program, axis: str):
@@ -198,7 +200,7 @@ class ShardedEvaluator(Evaluator):
             if not with_jacobian:
                 return cost, res_groups, None, grad
             # return raw children: shard_map out_specs match plain pytrees
-            return cost, res_groups, (jac.jac_groups, jac.t_rows), grad
+            return cost, res_groups, (jac.jac_groups, jac.t_rows, jac.col_scale), grad
 
         self._evaluate_sharded = jax.jit(
             jax.shard_map(
@@ -233,7 +235,7 @@ class ShardedEvaluator(Evaluator):
         return self._cost_sharded(self.arrays, state)
 
     def evaluate_groups(self, state, apply_loss: bool = True):
-        cost, res_groups, (jac_g, t_rows), grad = self._evaluate_sharded(
+        cost, res_groups, (jac_g, t_rows, _), grad = self._evaluate_sharded(
             self.arrays, state
         )
         from ..jacobian import BlockJacobian
@@ -265,8 +267,11 @@ class ShardedEvaluator(Evaluator):
         from ..jacobian import BlockJacobian
 
         def _step_inner(jac_children, res_groups, grad, radius, scale):
-            jac_g, t_rows = jac_children
-            jac = BlockJacobian(self.program, jac_g, t_rows, axis_name=self.axis)
+            jac_g, t_rows, col_scale = jac_children
+            jac = BlockJacobian(
+                self.program, jac_g, t_rows, axis_name=self.axis,
+                col_scale=col_scale,
+            )
             return step_fn_raw(jac, res_groups, grad, radius, scale)
 
         _sharded_step = jax.jit(

@@ -120,7 +120,7 @@ def make_chunk_fn(program, options, step_fn, sharded_evaluator=None):
         cost, res, jac, grad = evaluate(
             program, arrays, state, with_jacobian=True, axis_name=axis
         )
-        return cost, tuple(res), (jac.jac_groups, jac.t_rows), grad
+        return cost, tuple(res), (jac.jac_groups, jac.t_rows, jac.col_scale), grad
 
     def cost_only(arrays, state):
         return evaluate(
@@ -417,7 +417,7 @@ def run_fused(minimizer, state, summary):
     c0 = jnp.asarray(cost, dtype)
     zero = jnp.asarray(0.0, dtype)
     se = (c0, c0, c0, c0, zero, zero, jnp.asarray(0, jnp.int32))
-    jac_children = (jac.jac_groups, jac.t_rows)
+    jac_children = (jac.jac_groups, jac.t_rows, jac.col_scale)
     res = tuple(res_groups)
     cost_dev = c0
 

@@ -83,8 +83,15 @@ def make_lm_step_fn(program, options, evaluator):
                 jac_s,
                 dsq=dsq,
             )
+            # mixed precision (types.py use_mixed_precision_solves): bf16
+            # Jacobian reads in the CG matvec, f32 accumulation/vectors
+            jac_mv = (
+                jac_s.astype(jnp.bfloat16)
+                if options.use_mixed_precision_solves
+                else jac_s
+            )
             result = conjugate_gradients(
-                matvec=lambda v: jac_s.jtj_multiply(v, dsq),
+                matvec=lambda v: jac_mv.jtj_multiply(v, dsq),
                 b=-grad_s,
                 preconditioner=prec,
                 max_iterations=min(max_lin_iters, program.num_effective_parameters),

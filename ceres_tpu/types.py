@@ -208,6 +208,17 @@ class SolverOptions:
     callbacks: list = dataclasses.field(default_factory=list)
     update_state_every_iteration: bool = False
 
+    # Mixed-precision linear solves (reference: solver.h
+    # use_mixed_precision_solves + max_num_refinement_iterations, realized
+    # there as fp32 GPU factorization + fp64 refinement,
+    # dense_cholesky.h:246). TPU realization: the PCG matvec reads a
+    # bfloat16 copy of the Jacobian (half the HBM traffic, double the MXU
+    # rate) while every reduction accumulates in float32 and the
+    # preconditioner/RHS/back-substitution stay float32; the trust region's
+    # own accept/reject loop absorbs the inexactness of the step.
+    use_mixed_precision_solves: bool = False
+    max_num_refinement_iterations: int = 0
+
     # --- numerics (TPU-specific; replaces the reference's fp64-everywhere) ---
     # dtype of the compiled evaluation / linear-algebra path. float64 requires
     # jax_enable_x64 (CPU, or emulated on TPU); float32 is the fast TPU path.
