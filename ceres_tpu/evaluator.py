@@ -118,6 +118,12 @@ def _group_eval(
     from .jacobian import LANE_CHUNK, lane_chunks
 
     n_total = garr["a_rows"][0].shape[0] if garr["a_rows"] else meta.n
+
+    if with_jacobian:
+        out = _group_eval_pallas(meta, garr, state_2d, apply_loss, axis_name)
+        if out is not None:
+            return out
+
     ranges = lane_chunks(n_total)
     if len(ranges) == 1:
         return _group_eval_range(
@@ -139,6 +145,47 @@ def _group_eval(
         for i in range(len(jacss[0]))
     )
     return cost, res, jacs
+
+
+def _group_eval_pallas(meta, garr, state_2d, apply_loss, axis_name):
+    """Fused Pallas evaluation of a whole signature group (pallas_eval.py)
+    when the group is kernel-eligible; None -> caller uses the XLA path.
+
+    Replaces gather -> batched linearize -> corrector -> transpose with one
+    kernel whose VMEM use is constant in group size (no lane chunking)."""
+    from . import pallas_eval
+    from .jacobian import gather_T
+
+    dtype = state_2d[0].dtype if state_2d else None
+    kernel = pallas_eval.group_kernel(meta, garr, dtype, apply_loss)
+    if kernel is None:
+        return None
+
+    params_T = []
+    for pos, (pm, rows) in enumerate(zip(meta.positions, garr["a_rows"])):
+        if axis_name is not None:
+            plan = (meta.shard_red_plans or {}).get(pos)
+        else:
+            plan = (meta.red_plans or {}).get(pos)
+        if (
+            pos == meta.owner
+            and meta.owner_ambient_aligned
+            and plan is not None
+            and plan[0] in ("bucket", "bucket_sharded")
+        ):
+            params_T.append(gather_T(plan, state_2d[pm.a_cls], rows, axis_name))
+        else:
+            params_T.append(jnp.take(state_2d[pm.a_cls], rows, axis=0).T)
+
+    data_T = []
+    for d in garr["data"]:
+        data_T.append(d[None, :] if d.ndim == 1 else d.T)
+
+    mask = garr.get("mask")
+    mask_T = None if mask is None else mask[None, :]
+
+    cost, res_T, jacs_T = kernel(tuple(params_T), tuple(data_T), mask_T)
+    return cost, res_T, jacs_T
 
 
 def _group_eval_range(

@@ -1,0 +1,157 @@
+"""Differential tests for the fused Pallas group-evaluation kernel.
+
+Strategy (SURVEY.md §4.3): evaluate the SAME problem through the Pallas
+kernel (interpret mode on CPU) and through the XLA path, and require
+matching cost/residuals/Jacobians/gradient — the analog of the reference's
+CPU-vs-CUDA differential tests (evaluator_cuda_test.cu.cc)."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ceres_tpu import pallas_eval
+from ceres_tpu.autodiff import CostFunction
+from ceres_tpu.evaluator import _group_eval, evaluate, state_tables
+from ceres_tpu.io.bal import build_ba_problem, synthetic_bal
+from ceres_tpu.loss import CauchyLoss, HuberLoss
+from ceres_tpu.problem import Problem
+
+
+@pytest.fixture(autouse=True)
+def _interpret_mode(monkeypatch):
+    monkeypatch.setenv("CERES_TPU_PALLAS", "interpret")
+    yield
+
+
+def _clear_kernel_cache(program):
+    for m in program.groups:
+        if hasattr(m, "_pallas_kernels"):
+            del m._pallas_kernels
+
+
+def _eval_both(program, dtype=jnp.float32):
+    arrays = program.arrays(dtype)
+    state = program.state_vector(dtype)
+    f = jax.jit(lambda a, s: evaluate(program, a, s, with_jacobian=True))
+    c1, r1, j1, g1 = f(arrays, state)
+    os.environ["CERES_TPU_NO_PALLAS"] = "1"
+    _clear_kernel_cache(program)
+    try:
+        f2 = jax.jit(lambda a, s: evaluate(program, a, s, with_jacobian=True))
+        c2, r2, j2, g2 = f2(arrays, state)
+    finally:
+        del os.environ["CERES_TPU_NO_PALLAS"]
+        _clear_kernel_cache(program)
+    return (c1, r1, j1, g1), (c2, r2, j2, g2)
+
+
+def _assert_close(out_pallas, out_xla, tol=5e-4):
+    (c1, r1, j1, g1), (c2, r2, j2, g2) = out_pallas, out_xla
+    assert abs(float(c1) - float(c2)) <= tol * (1.0 + abs(float(c2)))
+    np.testing.assert_allclose(g1, g2, rtol=tol, atol=tol)
+    for a, b in zip(r1, r2):
+        np.testing.assert_allclose(a, b, rtol=tol, atol=tol)
+    for ga, gb in zip(j1.jac_groups, j2.jac_groups):
+        for ta, tb in zip(ga, gb):
+            np.testing.assert_allclose(ta, tb, rtol=tol, atol=tol)
+
+
+def test_snavely_group_matches_xla_path():
+    bal = synthetic_bal(6, 40, 150, seed=3)
+    problem, _, _ = build_ba_problem(bal)
+    program = problem.compile()
+    # kernel must actually engage for the observation group
+    arrays = program.arrays(jnp.float32)
+    assert any(
+        pallas_eval.group_kernel(m, g, jnp.float32, True) is not None
+        for m, g in zip(program.groups, arrays["groups"])
+    )
+    _assert_close(*_eval_both(program))
+
+
+@pytest.mark.parametrize("loss", [HuberLoss(0.5), CauchyLoss(0.3)])
+def test_robust_loss_group_matches_xla_path(loss):
+    rng = np.random.RandomState(0)
+    p = Problem()
+    xs = [p.add_parameter_block(rng.randn(3)) for _ in range(10)]
+    data = rng.randn(40, 2)
+    idx = rng.randint(0, 10, 40)
+    cf = CostFunction(lambda params, d: params[0][:2] * params[0][2] - d[0], 2)
+    for i in range(40):
+        p.add_residual_block(cf, loss, [xs[idx[i]]], data=(data[i],))
+    _assert_close(*_eval_both(p.compile()))
+
+
+def test_masked_lanes_are_zeroed():
+    """Sharding pads groups with masked lanes; the kernel must zero their
+    residual/Jacobian contributions exactly like the XLA path."""
+    bal = synthetic_bal(4, 20, 64, seed=5)
+    problem, _, _ = build_ba_problem(bal)
+    program = problem.compile()
+    arrays = program.arrays(jnp.float32)
+    state = program.state_vector(jnp.float32)
+    garr = dict(arrays["groups"][0])
+    n = garr["a_rows"][0].shape[0]
+    mask = np.ones(n, np.float32)
+    mask[-5:] = 0.0
+    garr["mask"] = jnp.asarray(mask)
+    meta = program.groups[0]
+
+    def run(a_garr):
+        s2d = state_tables(program, state)
+        return _group_eval(meta, a_garr, s2d, True, True, None)
+
+    c1, r1, j1 = jax.jit(run)(garr)
+    os.environ["CERES_TPU_NO_PALLAS"] = "1"
+    _clear_kernel_cache(program)
+    try:
+        c2, r2, j2 = jax.jit(run)(garr)
+    finally:
+        del os.environ["CERES_TPU_NO_PALLAS"]
+        _clear_kernel_cache(program)
+    assert abs(float(c1) - float(c2)) <= 1e-5 * (1 + abs(float(c2)))
+    np.testing.assert_allclose(r1, r2, rtol=1e-5, atol=1e-5)
+    # masked lanes must be exactly zero
+    np.testing.assert_array_equal(np.asarray(r1)[:, -5:], 0.0)
+    for ta, tb in zip(j1, j2):
+        np.testing.assert_allclose(ta, tb, rtol=5e-4, atol=5e-4)
+        np.testing.assert_array_equal(np.asarray(ta)[:, -5:], 0.0)
+
+
+def test_unsupported_functor_falls_back():
+    """A functor using a primitive the lane interpreter cannot re-emit
+    (sort) must disqualify the group, not break evaluation."""
+    rng = np.random.RandomState(1)
+    p = Problem()
+    x = p.add_parameter_block(rng.randn(4))
+    cf = CostFunction(lambda params, d: jnp.sort(params[0])[:2], 2)
+    for _ in range(3):
+        p.add_residual_block(cf, None, [x])
+    program = p.compile()
+    arrays = program.arrays(jnp.float32)
+    assert (
+        pallas_eval.group_kernel(
+            program.groups[0], arrays["groups"][0], jnp.float32, True
+        )
+        is None
+    )
+    # evaluation still works through the XLA path
+    state = program.state_vector(jnp.float32)
+    c, _, _, g = jax.jit(lambda a, s: evaluate(program, a, s, True))(arrays, state)
+    assert np.isfinite(float(c))
+
+
+def test_f64_disables_kernel():
+    bal = synthetic_bal(4, 20, 64, seed=7)
+    problem, _, _ = build_ba_problem(bal)
+    program = problem.compile()
+    arrays = program.arrays(jnp.float64)
+    assert (
+        pallas_eval.group_kernel(
+            program.groups[0], arrays["groups"][0], jnp.float64, True
+        )
+        is None
+    )
