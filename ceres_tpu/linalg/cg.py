@@ -75,15 +75,22 @@ def conjugate_gradients(
         x_new = x + alpha * p_new
         r_new = r - alpha * ap
 
-        # Q-test (Martin & Tisseur): zeta = (q - q_prev)/q
-        q_new = -0.5 * (jnp.vdot(x_new, b + (b - r_new)))
-        zeta = jnp.where(
-            q_new != 0, (q_new - q_prev) / jnp.where(q_new != 0, q_new, 1.0), 1.0
-        )
+        # Q-test (Nash truncated-Newton criterion, reference
+        # conjugate_gradients_solver.h:244-283): with Q(x) = x'Ax - 2b'x and
+        # r = b - Ax, Q_i = -x·(b + r); terminate when
+        # i * (Q_i - Q_{i-1}) / Q_i < q_tolerance (signed test).
+        q_new = -jnp.vdot(x_new, b + r_new)
         it_new = it + 1
+        zeta = jnp.where(
+            q_new != 0,
+            it_new.astype(q_new.dtype)
+            * (q_new - q_prev)
+            / jnp.where(q_new != 0, q_new, 1.0),
+            jnp.asarray(jnp.inf, dtype),
+        )
         done_q = jnp.logical_and(
             q_tolerance > 0,
-            jnp.logical_and(it_new > min_iterations, jnp.abs(zeta) < q_tolerance),
+            jnp.logical_and(it_new >= min_iterations, zeta < q_tolerance),
         )
         done_r = jnp.logical_and(
             it_new >= min_iterations, jnp.linalg.norm(r_new) <= tol_r

@@ -238,7 +238,10 @@ def schur_solve(program, options, jac_s, res_groups, grad_s, dsq):
             preconditioner=prec,
             max_iterations=options.max_linear_solver_iterations,
             min_iterations=options.min_linear_solver_iterations,
-            tolerance=options.eta,
+            # LM maps eta to the Q-based (truncated-Newton) criterion with
+            # the residual test disabled (levenberg_marquardt_strategy.cc:98-103)
+            tolerance=0.0,
+            q_tolerance=options.eta,
         )
         dx_f = result.x * f_mask
         lin_iters = result.iterations

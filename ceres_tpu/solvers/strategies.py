@@ -96,7 +96,10 @@ def make_lm_step_fn(program, options, evaluator):
                 preconditioner=prec,
                 max_iterations=min(max_lin_iters, program.num_effective_parameters),
                 min_iterations=min_lin_iters,
-                tolerance=eta,
+                # LM maps eta to the Q-based (truncated-Newton) criterion,
+                # residual test disabled (levenberg_marquardt_strategy.cc:98-103)
+                tolerance=0.0,
+                q_tolerance=eta,
             )
             step = result.x
             lin_iters = result.iterations
@@ -149,7 +152,8 @@ def make_lm_step_fn(program, options, evaluator):
                     max_lin_iters, program.num_effective_parameters
                 ),
                 min_iterations=min_lin_iters,
-                tolerance=eta,
+                tolerance=0.0,
+                q_tolerance=eta,  # levenberg_marquardt_strategy.cc:98-103
             )
             step = result.x
             mcc = _model_cost_change(jac_s, step, res_groups)

@@ -64,7 +64,10 @@ def test_step_matches_dense_reference(fixed_subproblem, solver, prec):
         linear_solver_type=solver,
         preconditioner_type=prec,
         max_linear_solver_iterations=500,
-        eta=1e-12,
+        # eta maps to the reference's Q-based truncation
+        # (levenberg_marquardt_strategy.cc:98); 0 disables it so CG runs to
+        # the iteration cap and the step is exact for this comparison
+        eta=0.0,
     )
     step_fn = make_lm_step_fn(program, options, ev)
     delta, mcc, iters, valid = step_fn(
