@@ -222,6 +222,7 @@ def euc_bundle_adjust(
     bundle_intrinsics: BundleIntrinsics = BundleIntrinsics.NO_INTRINSICS,
     bundle_constraints: BundleConstraints = BundleConstraints.NO_CONSTRAINTS,
     solver_options: SolverOptions = None,
+    lock_first_camera: bool = False,
 ):
     """EUC (metric) bundle adjustment with a shared intrinsics block.
 
@@ -267,6 +268,13 @@ def euc_bundle_adjust(
         for c in cam_ids:
             problem.set_manifold(c, SubsetManifold(6, [3, 4, 5]))
 
+    if lock_first_camera and len(camera_index):
+        # reference locks the first observed camera against gauge ambiguity
+        # (libmv_bundle_adjuster.cc:718-722)
+        problem.set_parameter_block_constant(
+            cam_ids[int(np.asarray(camera_index)[0])]
+        )
+
     cf = CostFunction(opencv_reprojection_residual, 2, name="opencv_reproj")
     pid = np.stack(
         [
@@ -290,3 +298,167 @@ def euc_bundle_adjust(
     cameras_Rt = np.stack([problem.parameter_block_value(c) for c in cam_ids])
     points = np.stack([problem.parameter_block_value(p) for p in pt_ids])
     return intrinsics, cameras_Rt, points, summary
+
+
+# ------------------------------------------------------------------ #
+# blender/libmv binary problem files (libmv_bundle_adjuster.cc:263-450)
+# ------------------------------------------------------------------ #
+
+
+class LibmvProblem:
+    """In-memory form of a blender-dumped BA problem.
+
+    `cameras_Rt[i]` is the [angle-axis | t] 6-vector for image i (rows for
+    images without a camera are present but unused); `points[j]` likewise
+    indexed by track id. `camera_valid`/`point_valid` mark populated rows.
+    """
+
+    def __init__(self, intrinsics, cameras_Rt, camera_valid, points,
+                 point_valid, markers, is_image_space):
+        self.intrinsics = intrinsics
+        self.cameras_Rt = cameras_Rt
+        self.camera_valid = camera_valid
+        self.points = points
+        self.point_valid = point_valid
+        self.markers = markers  # [n, 4]: image, track, x, y
+        self.is_image_space = is_image_space
+
+
+def read_libmv_problem(path) -> LibmvProblem:
+    """Binary reader for the reference's blender problem dumps.
+
+    Layout (libmv_bundle_adjuster.cc:263-450): leading endianness byte
+    'v'/'V', space flag 'P'/'N', 8 float32 intrinsics
+    [f, cx, cy, k1, k2, k3, p1, p2], then length-prefixed camera
+    (int32 image, 9 float32 column-major R, 3 float32 t), point
+    (int32 track, 3 float32 X), and marker (int32 image, int32 track,
+    2 float32 xy) tables. All floats are float32 in the file.
+    """
+    from ..rotation import rotation_matrix_to_angle_axis
+
+    with open(path, "rb") as f:
+        buf = f.read()
+    endian_flag = buf[0:1]
+    if endian_flag == b"v":
+        order = "<"
+    elif endian_flag == b"V":
+        order = ">"
+    else:
+        raise ValueError(f"{path}: unknown endianness byte {endian_flag!r}")
+    space_flag = buf[1:2]
+    if space_flag not in (b"P", b"N"):
+        raise ValueError(f"{path}: unknown marker space byte {space_flag!r}")
+    is_image_space = space_flag == b"P"
+
+    pos = 2
+
+    def read(fmt, count):
+        nonlocal pos
+        arr = np.frombuffer(buf, dtype=np.dtype(fmt).newbyteorder(order),
+                            count=count, offset=pos)
+        pos += arr.nbytes
+        return arr
+
+    intrinsics = read("f4", 8).astype(np.float64)
+
+    n_cameras = int(read("i4", 1)[0])
+    cam_rows = {}
+    for _ in range(n_cameras):
+        image = int(read("i4", 1)[0])
+        r = read("f4", 9).astype(np.float64).reshape(3, 3).T  # column-major
+        t = read("f4", 3).astype(np.float64)
+        cam_rows[image] = (r, t)
+
+    n_points = int(read("i4", 1)[0])
+    pt_rows = {}
+    for _ in range(n_points):
+        track = int(read("i4", 1)[0])
+        pt_rows[track] = read("f4", 3).astype(np.float64)
+
+    n_markers = int(read("i4", 1)[0])
+    markers = np.zeros((n_markers, 4), dtype=np.float64)
+    for i in range(n_markers):
+        image, track = (int(v) for v in read("i4", 2))
+        xy = read("f4", 2).astype(np.float64)
+        markers[i] = [image, track, xy[0], xy[1]]
+
+    max_image = max(cam_rows) if cam_rows else -1
+    if n_markers:
+        max_image = max(max_image, int(markers[:, 0].max()))
+    cameras_Rt = np.zeros((max_image + 1, 6))
+    camera_valid = np.zeros(max_image + 1, dtype=bool)
+    for image, (r, t) in cam_rows.items():
+        aa = np.asarray(rotation_matrix_to_angle_axis(jnp.asarray(r)))
+        cameras_Rt[image] = np.concatenate([aa, t])
+        camera_valid[image] = True
+
+    max_track = max(pt_rows) if pt_rows else -1
+    points = np.zeros((max_track + 1, 3))
+    point_valid = np.zeros(max_track + 1, dtype=bool)
+    for track, x in pt_rows.items():
+        points[track] = x
+        point_valid[track] = True
+
+    return LibmvProblem(intrinsics, cameras_Rt, camera_valid, points,
+                        point_valid, markers, is_image_space)
+
+
+def solve_libmv_problem(
+    prob: LibmvProblem,
+    refine_intrinsics: str = "none",
+    solver_options: SolverOptions = None,
+):
+    """Bundle a loaded blender problem, mirroring main()'s driver
+    (libmv_bundle_adjuster.cc:770-820): --refine_intrinsics none|radial,
+    first observed camera locked, ITERATIVE_SCHUR + SCHUR_JACOBI with
+    nonmonotonic steps. Returns (intrinsics, cameras_Rt, points, summary).
+    """
+    from ..types import PreconditionerType
+
+    if refine_intrinsics == "radial":
+        flags = (BundleIntrinsics.FOCAL_LENGTH | BundleIntrinsics.RADIAL_K1
+                 | BundleIntrinsics.RADIAL_K2)
+    elif refine_intrinsics in ("none", "", None):
+        flags = BundleIntrinsics.NO_INTRINSICS
+    else:
+        raise ValueError(f"unknown refine_intrinsics {refine_intrinsics!r}")
+
+    # keep only markers whose camera and point both exist (reference skips
+    # them one by one at libmv_bundle_adjuster.cc:705-712)
+    img = prob.markers[:, 0].astype(int)
+    trk = prob.markers[:, 1].astype(int)
+    ok = prob.camera_valid[img] & prob.point_valid[trk]
+    img, trk = img[ok], trk[ok]
+    obs = prob.markers[ok, 2:4]
+
+    # compress to contiguous camera/point rows
+    used_cams = np.unique(img)
+    used_pts = np.unique(trk)
+    cam_of = {c: i for i, c in enumerate(used_cams)}
+    pt_of = {p: i for i, p in enumerate(used_pts)}
+    camera_index = np.asarray([cam_of[c] for c in img])
+    point_index = np.asarray([pt_of[p] for p in trk])
+
+    solver_options = solver_options or SolverOptions(
+        linear_solver_type=LinearSolverType.ITERATIVE_SCHUR,
+        preconditioner_type=PreconditionerType.SCHUR_JACOBI,
+        use_nonmonotonic_steps=True,
+        use_inner_iterations=False,
+        max_num_iterations=100,
+    )
+    intr, cams, pts, summary = euc_bundle_adjust(
+        prob.intrinsics,
+        prob.cameras_Rt[used_cams],
+        prob.points[used_pts],
+        camera_index,
+        point_index,
+        obs,
+        bundle_intrinsics=flags,
+        solver_options=solver_options,
+        lock_first_camera=True,
+    )
+    new_cams = prob.cameras_Rt.copy()
+    new_cams[used_cams] = cams
+    new_pts = prob.points.copy()
+    new_pts[used_pts] = pts
+    return intr, new_cams, new_pts, summary

@@ -124,3 +124,70 @@ def test_euc_bundle_no_translation():
     assert summary.final_cost < 1e-6, summary.final_cost
     # translations must be untouched
     np.testing.assert_array_equal(cams2[:, 3:], cams_noisy[:, 3:])
+
+
+# ------------------------------------------------------------------ #
+# real blender problem dumps mounted with the reference
+# ------------------------------------------------------------------ #
+
+import os
+import pytest
+
+from ceres_tpu.examples.libmv import read_libmv_problem, solve_libmv_problem
+
+LIBMV_DIR = "/root/reference/data/libmv-ba-problems"
+
+requires_libmv_data = pytest.mark.skipif(
+    not os.path.isdir(LIBMV_DIR), reason="libmv problem dumps not mounted"
+)
+
+
+@requires_libmv_data
+def test_read_all_binary_problems():
+    expected = {  # (cameras, points, markers) per file, from the dumps
+        "problem_01.bin": (333, 26, 5421),
+        "problem_02.bin": (440, 71, 16718),
+        "problem_03.bin": (500, 37, 6184),
+    }
+    for fname, (ncams, npts, nmarkers) in expected.items():
+        p = read_libmv_problem(os.path.join(LIBMV_DIR, fname))
+        assert p.is_image_space
+        assert int(p.camera_valid.sum()) == ncams
+        assert int(p.point_valid.sum()) == npts
+        assert p.markers.shape == (nmarkers, 4)
+        assert p.intrinsics.shape == (8,)
+        assert p.intrinsics[0] > 100.0  # plausible focal length in pixels
+        # markers reference only valid cameras/points (blender dumps are clean)
+        img = p.markers[:, 0].astype(int)
+        trk = p.markers[:, 1].astype(int)
+        assert p.camera_valid[img].all() and p.point_valid[trk].all()
+        # rotations survived the R -> angle-axis -> R round trip
+        from ceres_tpu.rotation import angle_axis_to_rotation_matrix
+        import jax.numpy as jnp
+
+        first = int(np.flatnonzero(p.camera_valid)[0])
+        r = np.asarray(
+            angle_axis_to_rotation_matrix(jnp.asarray(p.cameras_Rt[first, :3]))
+        )
+        np.testing.assert_allclose(r @ r.T, np.eye(3), atol=1e-6)
+
+
+@requires_libmv_data
+def test_solve_problem_01():
+    # mirrors `libmv_bundle_adjuster --input=problem_01.bin
+    # --refine_intrinsics=none`; the dump is blender's already-bundled
+    # output, so the solve must converge with a (small) cost decrease.
+    p = read_libmv_problem(os.path.join(LIBMV_DIR, "problem_01.bin"))
+    intr, cams, pts, summary = solve_libmv_problem(p, refine_intrinsics="none")
+    assert summary.termination_type in (
+        TerminationType.CONVERGENCE,
+        TerminationType.NO_CONVERGENCE,
+    )
+    assert summary.final_cost <= summary.initial_cost
+    # intrinsics stay fixed under refine_intrinsics=none
+    np.testing.assert_array_equal(intr, p.intrinsics)
+    # reprojection RMS stays subpixel on the bundled dump
+    n = (p.camera_valid[p.markers[:, 0].astype(int)]
+         & p.point_valid[p.markers[:, 1].astype(int)]).sum()
+    rms = np.sqrt(2.0 * summary.final_cost / (2 * n))
+    assert rms < 2.0, rms

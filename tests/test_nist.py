@@ -1,85 +1,101 @@
-"""NIST harness tests using synthetic datasets written in StRD format.
+"""NIST StRD accuracy tests against the 27 certified datasets that ship
+with the reference at /root/reference/data/nist.
 
-(The real NIST .dat files are not bundled; the harness's parser, model
-library, and LRE scoring are validated on generated data whose certified
-values are known by construction.)
+reference analog: examples/nist.cc RegressionDriver / SolveNISTProblems —
+success bar is LRE > 4 certified digits per starting point, tiers per
+nist.cc:659-705. A representative cross-tier subset runs by default (kept
+small because each new dataset shape costs a jit compile on cold cache);
+set CERES_TPU_FULL_NIST=1 to fit all 27 datasets and check the tier totals
+measured in round 2: easy 16/16, medium 22/22, hard 15/16 (the one miss is
+BoxBOD start 1, a famously divergent start).
 """
+
+import os
 
 import numpy as np
 import pytest
 
 from ceres_tpu.examples.nist import (
+    DIFFICULTY,
     MODELS,
+    fit_nist_dataset,
     log_relative_error,
     parse_nist_dat,
     run_nist,
+    summarize_nist,
+)
+
+NIST_DIR = "/root/reference/data/nist"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(NIST_DIR), reason="certified NIST data not mounted"
 )
 
 
-def write_strd(path, name, b_true, b_start1, b_start2, x, y, rss):
-    lines = []
-    lines.append(f"NIST/ITL StRD synthetic dataset {name}")
-    lines.append("")
-    lines.append("Starting values                  Certified Values")
-    lines.append("")
-    for i, (s1, s2, bt) in enumerate(zip(b_start1, b_start2, b_true)):
-        lines.append(
-            f"  b{i+1} =   {s1:.8E}   {s2:.8E}   {bt:.10E}  1.0E-5"
+def test_parse_all_certified_files():
+    names = []
+    for fname in sorted(os.listdir(NIST_DIR)):
+        if not fname.endswith(".dat"):
+            continue
+        ds = parse_nist_dat(os.path.join(NIST_DIR, fname))
+        names.append(ds.name)
+        assert ds.name in MODELS, ds.name
+        assert ds.starts.ndim == 2 and ds.starts.shape[0] >= 2
+        assert ds.certified.shape == (ds.starts.shape[1],)
+        assert ds.data.shape[1] == 1 + ds.num_predictors
+        assert ds.data.shape[0] >= 6
+        assert ds.certified_cost > 0
+    assert len(names) == 27
+    # every dataset is assigned a difficulty tier
+    tiered = {n for members in DIFFICULTY.values() for n in members}
+    assert set(names) == tiered
+
+
+# one representative per model family across all three tiers
+REPRESENTATIVE = [
+    "Misra1a",   # easy, exponential
+    "Chwirut2",  # easy, rational-exponential
+    "Gauss1",    # easy, gaussian peaks
+    "Kirby2",    # medium, rational
+    "Nelson",    # medium, 2-predictor log response
+    "Roszman1",  # medium, atan2 branch
+    "Eckerle4",  # hard
+    "MGH10",     # hard, stiff exponential
+    "Rat43",     # hard
+]
+
+
+@pytest.mark.parametrize("fname", REPRESENTATIVE)
+def test_certified_fit(fname):
+    ds = parse_nist_dat(os.path.join(NIST_DIR, f"{fname}.dat"))
+    results = fit_nist_dataset(ds)
+    for start, r in enumerate(results):
+        assert r.success, (
+            f"{ds.name} start {start + 1}: LRE {r.lre:.1f} <= 4 "
+            f"(final cost {r.final_cost:.6e}, certified {r.certified_cost:.6e})"
         )
-    lines.append(f"Residual Sum of Squares:    {rss:.10E}")
-    lines.append("")
-    lines.append("Data:   y          x")
-    for yi, xi in zip(y, x):
-        lines.append(f"  {yi:.10E}   {xi:.10E}")
-    with open(path, "w") as f:
-        f.write("\n".join(lines))
+        np.testing.assert_allclose(r.final_cost, r.certified_cost, rtol=1e-5)
 
 
-@pytest.fixture
-def synthetic_nist_dir(tmp_path):
-    import jax.numpy as jnp
-
-    rng = np.random.default_rng(0)
-    # misra1a-shaped synthetic: y = b0 (1 - exp(-b1 x))
-    b_true = np.array([240.0, 5.5e-4])
-    x = np.linspace(50.0, 700.0, 20)
-    y = np.asarray(MODELS["misra1a"](jnp.asarray(b_true), jnp.asarray(x)))
-    noise = rng.normal(0, 0.05, x.shape)
-    y = y + noise
-    # "certified" = tight refit with scipy for ground truth
-    from scipy.optimize import least_squares
-
-    def res(b):
-        return y - b[0] * (1.0 - np.exp(-b[1] * x))
-
-    sol = least_squares(res, b_true, xtol=1e-15, ftol=1e-15)
-    rss = float(sol.fun @ sol.fun)
-    write_strd(
-        tmp_path / "Misra1a.dat",
-        "misra1a",
-        sol.x,
-        [500.0, 1e-4],
-        [250.0, 5e-4],
-        x,
-        y,
-        rss,
-    )
-    return tmp_path, sol.x
+def test_boxbod_second_start():
+    # start 1 diverges for LM from [1, 1] (certified b1 ~ 214, b2 ~ 0.55);
+    # the usable start must solve to > 8 digits
+    ds = parse_nist_dat(os.path.join(NIST_DIR, "BoxBOD.dat"))
+    results = fit_nist_dataset(ds)
+    assert results[1].success and results[1].lre > 8.0
 
 
-def test_parse_and_fit(synthetic_nist_dir):
-    data_dir, certified = synthetic_nist_dir
-    ds = parse_nist_dat(str(data_dir / "Misra1a.dat"))
-    assert ds.name == "misra1a"
-    assert ds.starts.shape == (2, 2)
-    np.testing.assert_allclose(ds.certified, certified, rtol=1e-8)
-
-    results = run_nist(str(data_dir))
-    assert "misra1a" in results
-    lre, final_cost, cert_cost = results["misra1a"]
-    # solved to >= 6 certified digits
-    assert lre >= 6.0, results
-    np.testing.assert_allclose(final_cost, cert_cost, rtol=1e-6)
+@pytest.mark.skipif(
+    not os.environ.get("CERES_TPU_FULL_NIST"),
+    reason="full 27-dataset sweep: set CERES_TPU_FULL_NIST=1",
+)
+def test_full_certified_sweep():
+    results = run_nist(NIST_DIR)
+    tiers = summarize_nist(results)
+    assert tiers["easy"] == (16, 16), tiers
+    assert tiers["medium"] == (22, 22), tiers
+    wins, total = tiers["hard"]
+    assert total == 16 and wins >= 15, tiers
 
 
 def test_lre_scoring():
