@@ -4,10 +4,11 @@ reference: covariance.h (470), covariance_impl.cc (889). Capability parity:
 covariance of selected parameter-block pairs from the inverse of J^T J at
 the solution, in tangent space (optionally lifted to ambient space through
 the plus Jacobian), with rank-deficiency handling via eigenvalue
-thresholding (the reference's DENSE_SVD algorithm). TPU design: one batched
-dense eigendecomposition on device; the sparse-QR algorithm of the
-reference is a host-scale optimization that the dense path subsumes for the
-problem sizes where covariance is meaningful.
+thresholding (the reference's DENSE_SVD algorithm), computed as one dense
+host eigendecomposition (np.linalg.eigh) — covariance runs once after the
+solve at sizes where a host eigh is cheap, so device residency buys
+nothing here. The sparse path plays the reference SPARSE_QR role via a
+column-subset solve against the host sparse factorization.
 """
 
 from __future__ import annotations

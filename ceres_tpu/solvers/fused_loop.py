@@ -14,8 +14,10 @@ chunk and replays the recorded per-iteration rows into Summary/logging.
 
 Eligibility (the host loop in trust_region.py remains the general path):
 jittable step function, no bounds, no inner iterations, no user callbacks,
-no evaluation callback, no update_state_every_iteration, unsharded
-evaluator. Behavioral parity with the host loop is bit-for-bit in the
+no evaluation callback, no update_state_every_iteration. Both unsharded and
+sharded evaluators are supported — `make_chunk_fn` builds the chunk inside
+`shard_map` when given a ShardedEvaluator, so the fused loop also runs the
+multi-chip path. Behavioral parity with the host loop is bit-for-bit in the
 decision logic (same order of convergence tests, same radius/step-evaluator
 arithmetic); only wall-clock bookkeeping differs (per-iteration times are
 amortized chunk times).
@@ -362,6 +364,7 @@ def run_fused(minimizer, state, summary):
     options = minimizer.options
     program = minimizer.program
     ev = minimizer.evaluator
+    summary.used_fused_execution = True
     start = time.time()
 
     t_jac = time.time()

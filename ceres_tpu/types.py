@@ -323,6 +323,9 @@ class Summary:
     linear_solver_type_used: Optional[LinearSolverType] = None
     preconditioner_type_used: Optional[PreconditionerType] = None
     line_search_direction_type: Optional[LineSearchDirectionType] = None
+    # True when the minimizer ran the device-fused lax.while_loop path
+    # (solvers/fused_loop.py) rather than the host trust-region loop.
+    used_fused_execution: bool = False
 
     preprocessor_time_in_seconds: float = 0.0
     minimizer_time_in_seconds: float = 0.0

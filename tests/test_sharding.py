@@ -90,5 +90,9 @@ def test_sharded_solve_matches_single_device(mesh, solver, prec):
             mesh=m,
         )
         summary = ceres_tpu.solve(options, problem)
+        # both runs must take the device-fused loop — a silent eligibility
+        # regression flipping the sharded path to the host loop would
+        # otherwise still pass the cost comparison
+        assert summary.used_fused_execution, (m, solver, prec)
         results.append(summary.final_cost)
     np.testing.assert_allclose(results[1], results[0], rtol=1e-6)
