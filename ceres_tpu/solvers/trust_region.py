@@ -48,6 +48,12 @@ class TrustRegionMinimizer:
             refiner = InnerIterationRefiner(program, options, evaluator)
             if refiner.available:
                 self.inner = refiner
+        # Dogleg exposes a radius-independent `prepare` (Gauss-Newton +
+        # Cauchy) and a radius-dependent `finish`; the host loop caches
+        # `prepare` across consecutive rejected steps, the role of the
+        # reference's reuse_ flag (dogleg_strategy.cc:74-107,617-643).
+        self._prepare_fn = self._finish_fn = None
+        self._prepare_cache = self._prepare_key = None
         if not getattr(raw_step_fn, "jittable", True):
             # host-path solvers (e.g. scipy sparse Cholesky) run un-jitted
             self.step_fn = raw_step_fn
@@ -57,6 +63,9 @@ class TrustRegionMinimizer:
             import jax
 
             self.step_fn = jax.jit(raw_step_fn)
+            if hasattr(raw_step_fn, "prepare"):
+                self._prepare_fn = jax.jit(raw_step_fn.prepare)
+                self._finish_fn = jax.jit(raw_step_fn.finish)
 
         self._fused_chunk_fn = None
         from .fused_loop import eligible, make_chunk_fn
@@ -147,6 +156,8 @@ class TrustRegionMinimizer:
         radius = float(options.initial_trust_region_radius)
         decrease_factor = 2.0
         num_consecutive_invalid = 0
+        iteration_of_last_jacobian = -1
+        self._prepare_key = None
 
         t_jac = time.time()
         cost, res_groups, jac, grad = ev.evaluate_groups(state)
@@ -245,9 +256,27 @@ class TrustRegionMinimizer:
                     scale=np.asarray(iter_scale),
                     trust_region_radius=radius,
                 )
-            delta, mcc, lin_iters, valid = self.step_fn(
-                jac, res_groups, grad, jnp.asarray(radius, state.dtype), iter_scale
-            )
+            if self._prepare_fn is not None:
+                # reuse the cached Gauss-Newton point while the Jacobian is
+                # unchanged (rejected steps only shrink the radius)
+                key = iteration_of_last_jacobian
+                if self._prepare_key != key:
+                    self._prepare_cache = self._prepare_fn(
+                        jac, res_groups, grad, iter_scale
+                    )
+                    self._prepare_key = key
+                delta, mcc, lin_iters, valid = self._finish_fn(
+                    jac,
+                    res_groups,
+                    grad,
+                    jnp.asarray(radius, state.dtype),
+                    iter_scale,
+                    self._prepare_cache,
+                )
+            else:
+                delta, mcc, lin_iters, valid = self.step_fn(
+                    jac, res_groups, grad, jnp.asarray(radius, state.dtype), iter_scale
+                )
             step_solver_time = time.time() - t_solve
             summary.num_linear_solves += 1
             summary.linear_solver_time_in_seconds += step_solver_time
@@ -374,6 +403,7 @@ class TrustRegionMinimizer:
 
                 t_jac = time.time()
                 cost_j, res_groups, jac, grad = ev.evaluate_groups(state)
+                iteration_of_last_jacobian = iteration
                 summary.num_jacobian_evaluations += 1
                 summary.jacobian_evaluation_time_in_seconds += time.time() - t_jac
                 if not _finite(float(cost_j)):
