@@ -39,3 +39,45 @@ def solve_dense_normal_cholesky(dense_j, res_flat, dsq):
     rhs = -(dense_j.T @ res_flat)
     chol, low = jax.scipy.linalg.cho_factor(jtj, lower=True)
     return jax.scipy.linalg.cho_solve((chol, low), rhs)
+
+
+def cholesky_solve_mixed(lhs, rhs, refine_iterations: int = 3,
+                         factor_dtype=jnp.float32):
+    """Low-precision Cholesky factorization + iterative refinement in the
+    working dtype.
+
+    reference: CUDADenseCholeskyMixedPrecision (dense_cholesky.h:246,
+    dense_cholesky.cc — fp32 cusolverDnSpotrf + fp64 refinement via
+    DenseIterativeRefiner, iterative_refiner.cc:74-101). TPU shape: the
+    factorization and triangular solves run in f32 on the MXU; only the
+    cheap residual matvec r = b - A x runs in the working dtype. Each
+    refinement sweep is `x += chol^-1 (b - A x)`.
+    """
+    work_dtype = lhs.dtype
+    chol, low = jax.scipy.linalg.cho_factor(lhs.astype(factor_dtype), lower=True)
+
+    def low_solve(v):
+        return jax.scipy.linalg.cho_solve(
+            (chol, low), v.astype(factor_dtype)
+        ).astype(work_dtype)
+
+    x = low_solve(rhs)
+    for _ in range(refine_iterations):
+        r = rhs - lhs @ x  # working-precision residual
+        x = x + low_solve(r)
+    return x
+
+
+def solve_dense_normal_cholesky_mixed(dense_j, res_flat, dsq,
+                                      refine_iterations: int = 3):
+    """Mixed-precision variant of solve_dense_normal_cholesky: the normal
+    equations are formed in the working dtype, factored in f32, and the
+    solution refined back to working precision.
+
+    reference: DenseNormalCholeskySolver with
+    Options::use_mixed_precision_solves
+    (dense_cholesky.h:246, iterative_refiner.cc).
+    """
+    jtj = dense_j.T @ dense_j + jnp.diag(dsq)
+    rhs = -(dense_j.T @ res_flat)
+    return cholesky_solve_mixed(jtj, rhs, refine_iterations)

@@ -177,13 +177,22 @@ def schur_solve(program, options, jac_s, res_groups, grad_s, dsq):
     else:
         jac_e_mv, jac_f_mv = jac_e, jac_f
 
-    def s_apply(y):
-        t1 = jac_f_mv.right_multiply(y)  # F y, group residual batches
-        ett1 = jac_e_mv.left_multiply(t1)  # E^T F y
+    def _s_apply_with(jac_e_op, jac_f_op, y):
+        t1 = jac_f_op.right_multiply(y)  # F y, group residual batches
+        ett1 = jac_e_op.left_multiply(t1)  # E^T F y
         t2 = ete(ett1)
-        et2 = jac_e_mv.right_multiply(t2)  # E t2, residual space
+        et2 = jac_e_op.right_multiply(t2)  # E t2, residual space
         diff = [a - b for a, b in zip(t1, et2)]
-        return jac_f_mv.left_multiply(diff) + dsq_f * y
+        return jac_f_op.left_multiply(diff) + dsq_f * y
+
+    def s_apply(y):
+        # PCG matvec: bf16 Jacobian reads when mixed precision is on
+        return _s_apply_with(jac_e_mv, jac_f_mv, y)
+
+    def s_apply_exact(y):
+        # working-precision operator — used to materialize the dense S
+        # (bf16 reads would make S asymmetric/indefinite at ~1e-3 relative)
+        return _s_apply_with(jac_e, jac_f, y)
 
     # rhs = -g_f + F^T E M^{-1} g_e
     t2 = ete(g_e)
@@ -254,11 +263,22 @@ def schur_solve(program, options, jac_s, res_groups, grad_s, dsq):
         f_positions = jnp.asarray(_np_nonzero(f_mask_np), dtype=jnp.int32)
         basis = jnp.zeros((nf, grad_s.shape[0]), dtype=dtype)
         basis = basis.at[jnp.arange(nf), f_positions].set(1.0)
-        s_cols = jax.vmap(s_apply)(basis)  # [nf, num_eff]
+        s_cols = jax.vmap(s_apply_exact)(basis)  # [nf, num_eff]
         s_dense = s_cols[:, f_positions]  # [nf, nf]
+        s_dense = 0.5 * (s_dense + s_dense.T)  # kill reduction-order noise
         rhs_f = rhs[f_positions]
-        chol, low = jax.scipy.linalg.cho_factor(s_dense, lower=True)
-        y = jax.scipy.linalg.cho_solve((chol, low), rhs_f)
+        if options.use_mixed_precision_solves:
+            # f32 factorization + working-dtype refinement on the reduced
+            # camera system (dense_cholesky.h:246, iterative_refiner.cc)
+            from .dense import cholesky_solve_mixed
+
+            y = cholesky_solve_mixed(
+                s_dense, rhs_f,
+                refine_iterations=max(1, options.max_num_refinement_iterations or 3),
+            )
+        else:
+            chol, low = jax.scipy.linalg.cho_factor(s_dense, lower=True)
+            y = jax.scipy.linalg.cho_solve((chol, low), rhs_f)
         dx_f = jnp.zeros_like(grad_s).at[f_positions].set(y)
         lin_iters = jnp.asarray(1, jnp.int32)
 

@@ -72,7 +72,19 @@ def make_lm_step_fn(program, options, evaluator):
         elif solver_type == LinearSolverType.DENSE_NORMAL_CHOLESKY:
             dense = jac_s.to_dense()
             res_flat = _flat_residuals(program, res_groups)
-            step = solve_dense_normal_cholesky(dense, res_flat, dsq)
+            if options.use_mixed_precision_solves:
+                # f32 factorization + working-dtype refinement
+                # (dense_cholesky.h:246, iterative_refiner.cc)
+                from ..linalg.dense import solve_dense_normal_cholesky_mixed
+
+                step = solve_dense_normal_cholesky_mixed(
+                    dense, res_flat, dsq,
+                    refine_iterations=max(
+                        1, options.max_num_refinement_iterations or 3
+                    ),
+                )
+            else:
+                step = solve_dense_normal_cholesky(dense, res_flat, dsq)
         elif solver_type == LinearSolverType.CGNR:
             prec = make_preconditioner(
                 precond_type

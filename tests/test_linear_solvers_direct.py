@@ -81,3 +81,62 @@ def test_step_matches_dense_reference(fixed_subproblem, solver, prec):
     expected = _dense_reference(program, jac, grad, radius, scale)
     np.testing.assert_allclose(np.asarray(delta), expected, rtol=2e-5, atol=1e-8)
     assert float(mcc) > 0
+
+
+@pytest.mark.parametrize(
+    "solver",
+    [LinearSolverType.DENSE_NORMAL_CHOLESKY, LinearSolverType.DENSE_SCHUR],
+    ids=lambda v: v.value,
+)
+def test_mixed_precision_factor_refine_matches_f64(fixed_subproblem, solver):
+    """f32 Cholesky factorization + working-dtype refinement must recover
+    the f64 factorization's step (dense_cholesky.h:246 /
+    iterative_refiner.cc analog)."""
+    import jax.numpy as jnp
+
+    program, ev, jac, res_groups, grad = fixed_subproblem
+    radius = 1e4
+    scale = np.ones(program.num_effective_parameters)
+
+    options = SolverOptions(
+        linear_solver_type=solver,
+        use_mixed_precision_solves=True,
+        max_num_refinement_iterations=3,
+    )
+    step_fn = make_lm_step_fn(program, options, ev)
+    delta, mcc, iters, valid = step_fn(
+        jac,
+        list(res_groups),
+        grad,
+        jnp.asarray(radius, grad.dtype),
+        jnp.asarray(scale, grad.dtype),
+    )
+    assert bool(valid)
+    expected = _dense_reference(program, jac, grad, radius, scale)
+    # refinement must recover (near-)f64 accuracy despite the f32 factor
+    np.testing.assert_allclose(np.asarray(delta), expected, rtol=1e-8, atol=1e-10)
+    assert float(mcc) > 0
+
+
+def test_cholesky_solve_mixed_refines_to_working_precision():
+    from ceres_tpu.linalg.dense import cholesky_solve_mixed
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(3)
+    n = 60
+    a = rng.normal(size=(n, n))
+    lhs = a.T @ a + 1e-3 * np.eye(n)
+    x_true = rng.normal(size=n)
+    rhs = lhs @ x_true
+
+    x0 = np.asarray(
+        cholesky_solve_mixed(jnp.asarray(lhs), jnp.asarray(rhs), refine_iterations=0)
+    )
+    x3 = np.asarray(
+        cholesky_solve_mixed(jnp.asarray(lhs), jnp.asarray(rhs), refine_iterations=3)
+    )
+    err0 = np.linalg.norm(x0 - x_true) / np.linalg.norm(x_true)
+    err3 = np.linalg.norm(x3 - x_true) / np.linalg.norm(x_true)
+    assert err0 > 1e-7   # pure f32 factorization is visibly inexact
+    assert err3 < 1e-11  # refinement recovers f64-level accuracy
+    assert err3 < err0 / 100.0
