@@ -393,3 +393,82 @@ class Evaluator:
 
     def plus(self, state, delta):
         return self._plus(self.arrays, state, delta)
+
+
+def diagnose_non_finite(program, state, max_blocks: int = 3) -> str:
+    """Name the residual block(s) whose evaluation produced Inf/NaN.
+
+    The role of the reference's per-block culprit report
+    (residual_block_utils.cc EvaluationToString/IsEvaluationValid, called
+    from residual_block.cc:110-116): when a solve fails on a non-finite
+    cost, re-evaluate group by group WITHOUT robust-loss correction and
+    pretty-print each offending block's parameters, raw residuals, and
+    Jacobian — at most `max_blocks` blocks per group.
+
+    Host-side and eager by design: this runs once, after a failure.
+    """
+    import numpy as np
+
+    arrays = program.arrays(state.dtype)
+    state_2d = state_tables(program, state)
+    lines = []
+    for gi, (meta, garr, idx) in enumerate(
+        zip(program.groups, arrays["groups"], program.group_idx)
+    ):
+        try:
+            _, res, jacs = _group_eval(
+                meta, garr, state_2d, True, False, None
+            )
+        except FloatingPointError:  # pragma: no cover - debug-mode nan traps
+            res, jacs = None, None
+        if res is None:
+            lines.append(
+                f"group {gi} ('{meta.cost_function.name}'): evaluation raised"
+            )
+            continue
+        res = np.asarray(res)[:, : meta.n]  # [r, n]
+        bad = ~np.isfinite(res).all(axis=0)
+        if jacs is not None:
+            for jpos in jacs:
+                bad |= ~np.isfinite(np.asarray(jpos)[:, : meta.n]).all(axis=0)
+        if not bad.any():
+            continue
+        bad_rows = np.flatnonzero(bad)
+        lines.append(
+            f"group {gi} ('{meta.cost_function.name}'): "
+            f"{bad_rows.size}/{meta.n} residual blocks non-finite"
+        )
+        state_np = np.asarray(state)
+        for row in bad_rows[:max_blocks]:
+            lines.append(f"  block {int(row)}:")
+            lines.append(
+                "    residuals: "
+                + np.array2string(res[:, row], precision=6, max_line_width=100)
+            )
+            for pos, (pm, ids) in enumerate(zip(meta.positions, idx["block_ids"])):
+                bid = int(ids[row])
+                off = int(program.x_offsets[bid])
+                vals = state_np[off : off + pm.size]
+                lines.append(
+                    f"    parameter block {pos} (id {bid}, size {pm.size}): "
+                    + np.array2string(vals, precision=6, max_line_width=100)
+                )
+                if jacs is not None:
+                    # group layout is [r*t, n], r-major (jacobian.py)
+                    jcol = np.asarray(jacs[pos])[:, row].reshape(
+                        meta.num_residuals, -1
+                    )  # [r, t]
+                    lines.append(
+                        "      jacobian: "
+                        + np.array2string(
+                            jcol, precision=6, max_line_width=100
+                        ).replace("\n", "\n                ")
+                    )
+        if bad_rows.size > max_blocks:
+            lines.append(f"  ... and {bad_rows.size - max_blocks} more")
+    if not lines:
+        return (
+            "No non-finite residual/Jacobian entries found on re-evaluation "
+            "(failure may come from the robust loss or the linear solver)."
+        )
+    return "\n".join(lines)

@@ -373,8 +373,13 @@ def run_fused(minimizer, state, summary):
     summary.num_jacobian_evaluations += 1
     summary.jacobian_evaluation_time_in_seconds += time.time() - t_jac
     if not np.isfinite(cost):
+        from ..evaluator import diagnose_non_finite
+
         summary.termination_type = TerminationType.FAILURE
-        summary.message = "Initial cost evaluation failed (non-finite)."
+        summary.message = (
+            "Initial cost evaluation failed (non-finite).\n"
+            + diagnose_non_finite(program, state)
+        )
         return state
     summary.initial_cost = cost + summary.fixed_cost
 
@@ -489,6 +494,12 @@ def run_fused(minimizer, state, summary):
         tt, msg = _TERM_MAP[term_code]
         summary.termination_type = tt
         summary.message = msg
+        if term_code == _EVAL_FAIL:
+            # name the culprit block(s), the role of the reference's
+            # residual_block_utils.cc report
+            from ..evaluator import diagnose_non_finite
+
+            summary.message += "\n" + diagnose_non_finite(program, out["state"])
     else:
         summary.termination_type = TerminationType.NO_CONVERGENCE
         summary.message = "Maximum number of iterations reached."

@@ -165,8 +165,13 @@ class TrustRegionMinimizer:
         summary.num_jacobian_evaluations += 1
         summary.jacobian_evaluation_time_in_seconds += time.time() - t_jac
         if not _finite(cost):
+            from ..evaluator import diagnose_non_finite
+
             summary.termination_type = TerminationType.FAILURE
-            summary.message = "Initial cost evaluation failed (non-finite)."
+            summary.message = (
+                "Initial cost evaluation failed (non-finite).\n"
+                + diagnose_non_finite(self.program, state)
+            )
             return state
         summary.initial_cost = cost + summary.fixed_cost
 
