@@ -262,11 +262,19 @@ def lane_eval(jaxpr, consts, args, C):
 # ---------------------------------------------------------------------- #
 
 
-def _scalar_full_jaxpr(fn, sizes, data_avals, dtype):
+def _scalar_full_jaxpr(fn, sizes, data_avals, dtype, manifolds=None):
     """Closed jaxpr of (p_0..p_k, d_0..) -> (res [r], col_0 [r], ...,
     col_{T-1} [r]): one primal linearize + T unrolled pushforwards (the
     per-signature Jet evaluation of the reference, autodiff.h:318, with the
-    Jet algebra replaced by jax.linearize)."""
+    Jet algebra replaced by jax.linearize).
+
+    For a position with a manifold, the pushforward tangents are the
+    plus-Jacobian columns, so the emitted columns are TANGENT-space
+    Jacobian columns directly — the manifold chain rule
+    (cuda_evaluator_kernel.h:362-369 MatrixMultiply, evaluator.py einsum)
+    is fused into the same trace instead of a separate [n,r,s]x[n,s,t]
+    batched matmul after the kernel."""
+    manifolds = manifolds or [None] * len(sizes)
 
     def scalar_full(*args):
         params = args[: len(sizes)]
@@ -274,10 +282,19 @@ def _scalar_full_jaxpr(fn, sizes, data_avals, dtype):
         res, jvp = jax.linearize(lambda *ps: fn(ps, data), *params)
         cols = []
         for i, s in enumerate(sizes):
-            for j in range(s):
-                tangents = [np.zeros((sz,), dtype) for sz in sizes]
-                tangents[i][j] = 1.0
-                cols.append(jvp(*[jnp.asarray(t) for t in tangents]))
+            if manifolds[i] is None:
+                for j in range(s):
+                    tangents = [jnp.zeros((sz,), dtype) for sz in sizes]
+                    t = np.zeros((s,), dtype)
+                    t[j] = 1.0
+                    tangents[i] = jnp.asarray(t)
+                    cols.append(jvp(*tangents))
+            else:
+                pj = manifolds[i].plus_jacobian(params[i])  # [s, t_i]
+                for j in range(pj.shape[1]):
+                    tangents = [jnp.zeros((sz,), dtype) for sz in sizes]
+                    tangents[i] = pj[:, j].astype(dtype)
+                    cols.append(jvp(*tangents))
         return (res, *cols)
 
     in_avals = [jax.ShapeDtypeStruct((s,), dtype) for s in sizes] + [
@@ -358,6 +375,11 @@ class GroupKernel:
     def __init__(self, meta, data_avals, dtype, apply_loss, has_mask):
         self.meta = meta
         self.sizes = tuple(int(pm.size) for pm in meta.positions)
+        # Jacobian blocks are emitted in tangent space; for manifold
+        # positions the plus-Jacobian chain rule is fused into the trace
+        self.tangent_sizes = tuple(
+            int(pm.tangent_size) for pm in meta.positions
+        )
         self.r = int(meta.cost_function.num_residuals)
         self.dtype = dtype
         self.apply_loss = apply_loss
@@ -365,7 +387,8 @@ class GroupKernel:
         self.loss = meta.loss if apply_loss else None
         self.data_scalar_shapes = tuple(tuple(a.shape) for a in data_avals)
         self.closed = _scalar_full_jaxpr(
-            meta.cost_function.fn, self.sizes, data_avals, dtype
+            meta.cost_function.fn, self.sizes, data_avals, dtype,
+            manifolds=[pm.manifold for pm in meta.positions],
         )
         # probe the lane interpreter (and the loss) on abstract values now so
         # unsupported primitives surface here — group_kernel() catches and
@@ -398,6 +421,7 @@ class GroupKernel:
         grid = pl.cdiv(n, C)
         r = self.r
         sizes = self.sizes
+        tangent_sizes = self.tangent_sizes
         closed = self.closed
         loss = self.loss
         data_scalar_shapes = self.data_scalar_shapes
@@ -464,16 +488,16 @@ class GroupKernel:
 
             res_ref[...] = res
             off = 0
-            for pos, s in enumerate(sizes):
+            for pos, t in enumerate(tangent_sizes):
                 block = jnp.concatenate(
                     [
-                        jnp.stack([cols[off + j][rr] for j in range(s)])
+                        jnp.stack([cols[off + j][rr] for j in range(t)])
                         for rr in range(r)
                     ],
                     axis=0,
-                )  # row rr*s + j = d res_rr / d p_j
+                )  # row rr*t + j = d res_rr / d tangent_j
                 jac_refs[pos][...] = block
-                off += s
+                off += t
 
         in_specs = (
             [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(n_consts)]
@@ -497,14 +521,17 @@ class GroupKernel:
         out_specs = (
             [pl.BlockSpec((r, C), lambda i: (0, i), memory_space=pltpu.VMEM)]
             + [
-                pl.BlockSpec((r * s, C), lambda i: (0, i), memory_space=pltpu.VMEM)
-                for s in sizes
+                pl.BlockSpec((r * t, C), lambda i: (0, i), memory_space=pltpu.VMEM)
+                for t in tangent_sizes
             ]
             + [pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)]
         )
         out_shape = (
             [jax.ShapeDtypeStruct((r, n), self.dtype)]
-            + [jax.ShapeDtypeStruct((r * s, n), self.dtype) for s in sizes]
+            + [
+                jax.ShapeDtypeStruct((r * t, n), self.dtype)
+                for t in tangent_sizes
+            ]
             + [jax.ShapeDtypeStruct((1, 1), self.dtype)]
         )
 
@@ -533,15 +560,13 @@ class GroupKernel:
 
 def group_kernel(meta, garr, dtype, apply_loss):
     """Build (and cache on meta) a GroupKernel, or return None when the
-    group is not kernel-eligible: manifolds in any slot (the kernel
-    differentiates the raw ambient block), non-f32 dtype (Mosaic has no
-    f64), data leaves of rank > 2, unsupported primitives in the functor,
+    group is not kernel-eligible: non-f32 dtype (Mosaic has no f64), data
+    leaves of rank > 2, unsupported primitives in the functor OR in a
+    manifold's plus_jacobian (the chain rule is traced into the kernel),
     or a non-TPU platform without CERES_TPU_PALLAS=interpret."""
     if not pallas_enabled():
         return None
     if dtype != jnp.float32:
-        return None
-    if any(pm.manifold is not None for pm in meta.positions):
         return None
     for d in garr["data"]:
         if not hasattr(d, "ndim") or d.ndim > 2:

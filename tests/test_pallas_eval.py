@@ -155,3 +155,80 @@ def test_f64_disables_kernel():
         )
         is None
     )
+
+
+def _quaternion_ba_problem(seed=9, num_cams=5, num_pts=30, num_obs=100):
+    """Mini-BA with quaternion-manifold cameras — the shape of the
+    reference's flagship differential test (evaluator_cuda_test.cu.cc:451:
+    quaternion manifold + robust losses on the CUDA evaluator)."""
+    from ceres_tpu.manifolds import QuaternionManifold
+    from ceres_tpu.rotation import unit_quaternion_rotate_point
+
+    rng = np.random.RandomState(seed)
+    p = Problem()
+    qs, ts, pts = [], [], []
+    for _ in range(num_cams):
+        q = rng.randn(4)
+        q /= np.linalg.norm(q)
+        qs.append(p.add_parameter_block(q, manifold=QuaternionManifold()))
+        ts.append(p.add_parameter_block(rng.randn(3) * 0.1))
+    for _ in range(num_pts):
+        pts.append(p.add_parameter_block(rng.randn(3) + [0, 0, 4]))
+
+    def reproj(params, data):
+        q, t, x = params
+        (obs,) = data
+        xc = unit_quaternion_rotate_point(q, x) + t
+        return jnp.stack([xc[0] / xc[2] - obs[0], xc[1] / xc[2] - obs[1]])
+
+    cf = CostFunction(reproj, 2, name="quat_reproj")
+    cam_idx = rng.randint(0, num_cams, num_obs)
+    pt_idx = rng.randint(0, num_pts, num_obs)
+    obs = rng.randn(num_obs, 2) * 0.1
+    ids = np.stack(
+        [
+            np.asarray([qs[c] for c in cam_idx]),
+            np.asarray([ts[c] for c in cam_idx]),
+            np.asarray([pts[i] for i in pt_idx]),
+        ],
+        axis=1,
+    )
+    p.add_residual_blocks(cf, HuberLoss(0.5), ids, (obs,))
+    return p
+
+
+def test_quaternion_manifold_group_uses_kernel_and_matches_xla():
+    """The plus-Jacobian chain rule is fused into the kernel trace; a
+    quaternion-manifold BA group must be kernel-eligible AND match the XLA
+    path (which applies the chain rule as a separate einsum)."""
+    p = _quaternion_ba_problem()
+    program = p.compile()
+    arrays = program.arrays(jnp.float32)
+    manifold_groups = [
+        (m, g)
+        for m, g in zip(program.groups, arrays["groups"])
+        if any(pm.manifold is not None for pm in m.positions)
+    ]
+    assert manifold_groups, "fixture must produce a manifold group"
+    for m, g in manifold_groups:
+        assert pallas_eval.group_kernel(m, g, jnp.float32, True) is not None, (
+            f"manifold group '{m.cost_function.name}' fell back to XLA"
+        )
+    _assert_close(*_eval_both(p.compile()))
+
+
+def test_quaternion_manifold_jacobian_is_tangent_sized():
+    p = _quaternion_ba_problem(num_cams=2, num_pts=6, num_obs=12)
+    program = p.compile()
+    arrays = program.arrays(jnp.float32)
+    for m, g in zip(program.groups, arrays["groups"]):
+        k = pallas_eval.group_kernel(m, g, jnp.float32, True)
+        if k is None or all(pm.manifold is None for pm in m.positions):
+            continue
+        # quaternion block: ambient 4, tangent 3 -> jac rows = r * 3
+        qpos = next(
+            i for i, pm in enumerate(m.positions) if pm.manifold is not None
+        )
+        assert m.positions[qpos].size == 4
+        assert m.positions[qpos].tangent_size == 3
+        assert k.tangent_sizes[qpos] == 3
