@@ -49,3 +49,24 @@ def snavely_reprojection_error(params, data):
     predicted_x = f * distortion * xp
     predicted_y = f * distortion * yp
     return jnp.stack([predicted_x - observed[0], predicted_y - observed[1]])
+
+
+def snavely_reprojection_error_with_quaternions(params, data):
+    """params = (camera [10] = [q(4) | t(3) | f k1 k2], point [3]);
+    data = (observed_xy [2],) -> [2].
+
+    reference: SnavelyReprojectionErrorWithQuaternions
+    (examples/snavely_reprojection_error.h:89-152)."""
+    from ..rotation import unit_quaternion_rotate_point
+
+    camera, point = params
+    (observed,) = data
+    p = unit_quaternion_rotate_point(camera[:4], point) + camera[4:7]
+    xp = -p[0] / p[2]
+    yp = -p[1] / p[2]
+    f, k1, k2 = camera[7], camera[8], camera[9]
+    r2 = xp * xp + yp * yp
+    distortion = 1.0 + r2 * (k1 + k2 * r2)
+    return jnp.stack(
+        [f * distortion * xp - observed[0], f * distortion * yp - observed[1]]
+    )

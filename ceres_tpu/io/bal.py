@@ -226,20 +226,59 @@ def _rotate_np(aa: np.ndarray, p: np.ndarray) -> np.ndarray:
     return out
 
 
-def build_ba_problem(bal: BalProblem, loss=None, use_quaternions: bool = False):
+def build_ba_problem(
+    bal: BalProblem,
+    loss=None,
+    use_quaternions: bool = False,
+    use_manifolds: bool = False,
+):
     """Assemble a ceres_tpu Problem from a BalProblem.
 
     reference: examples/bundle_adjuster.cc BuildProblem. Uses the bulk
     residual-batch API: all observations become ONE signature group.
+    With `use_quaternions` the camera block becomes
+    [q(4) | t(3) | f k1 k2] (10 params); `use_manifolds` additionally puts
+    Quaternion x Euclidean(6) product manifold on it
+    (bundle_adjuster.cc BuildProblem's --use_quaternions/--use_manifolds).
     """
     from ..autodiff import CostFunction
-    from ..examples.snavely import snavely_reprojection_error
+    from ..examples.snavely import (
+        snavely_reprojection_error,
+        snavely_reprojection_error_with_quaternions,
+    )
     from ..problem import Problem
 
     problem = Problem()
-    cam_ids = problem.add_parameter_blocks(bal.cameras)
+    if use_quaternions:
+        import jax.numpy as jnp
+
+        from ..manifolds import (
+            EuclideanManifold,
+            ProductManifold,
+            QuaternionManifold,
+        )
+        from ..rotation import angle_axis_to_quaternion
+
+        import jax
+
+        quats = np.asarray(
+            jax.vmap(angle_axis_to_quaternion)(jnp.asarray(bal.cameras[:, :3]))
+        )
+        cams10 = np.concatenate([quats, bal.cameras[:, 3:]], axis=1)
+        manifold = (
+            ProductManifold(QuaternionManifold(), EuclideanManifold(6))
+            if use_manifolds
+            else None
+        )
+        cam_ids = problem.add_parameter_blocks(cams10, manifold=manifold)
+        cf = CostFunction(
+            snavely_reprojection_error_with_quaternions, 2,
+            name="snavely_quat",
+        )
+    else:
+        cam_ids = problem.add_parameter_blocks(bal.cameras)
+        cf = CostFunction(snavely_reprojection_error, 2, name="snavely")
     pt_ids = problem.add_parameter_blocks(bal.points)
-    cf = CostFunction(snavely_reprojection_error, 2, name="snavely")
     param_ids = np.stack(
         [cam_ids[bal.camera_index], pt_ids[bal.point_index]], axis=1
     )

@@ -51,14 +51,60 @@ def main():
             "jacobi",
             "schur_jacobi",
             "schur_power_series_expansion",
+            "cluster_jacobi",
+            "cluster_tridiagonal",
         ],
     )
+    ap.add_argument(
+        "--visibility_clustering",
+        default="canonical_views",
+        choices=["canonical_views", "single_linkage"],
+    )
+    ap.add_argument(
+        "--trust_region_strategy",
+        default="levenberg_marquardt",
+        choices=["levenberg_marquardt", "dogleg"],
+    )
+    ap.add_argument(
+        "--dogleg",
+        default="traditional_dogleg",
+        choices=["traditional_dogleg", "subspace_dogleg"],
+    )
     ap.add_argument("--num_iterations", type=int, default=20)
+    ap.add_argument("--max_linear_solver_iterations", type=int, default=500)
+    ap.add_argument("--max_solver_time", type=float, default=1e32)
     ap.add_argument("--eta", type=float, default=1e-1)
     ap.add_argument("--robustify", action="store_true", help="use Huber loss")
     ap.add_argument("--inner_iterations", action="store_true")
     ap.add_argument("--nonmonotonic_steps", action="store_true")
+    ap.add_argument(
+        "--line_search", action="store_true",
+        help="line-search minimizer instead of trust region",
+    )
+    ap.add_argument(
+        "--use_quaternions", action="store_true",
+        help="quaternion camera rotations (10-param camera blocks)",
+    )
+    ap.add_argument(
+        "--use_manifolds", action="store_true",
+        help="with --use_quaternions: Quaternion x Euclidean(6) manifold",
+    )
+    ap.add_argument(
+        "--use_spse_initialization", action="store_true",
+        help="power-series init of the ITERATIVE_SCHUR solution",
+    )
+    ap.add_argument("--spse_tolerance", type=float, default=0.1)
+    ap.add_argument("--max_num_spse_iterations", type=int, default=5)
     ap.add_argument("--mixed_precision", action="store_true", help="f32 path")
+    ap.add_argument(
+        "--mixed_precision_solves", action="store_true",
+        help="f32-factor + refine dense solves / bf16 PCG matvecs",
+    )
+    ap.add_argument("--max_num_refinement_iterations", type=int, default=3)
+    ap.add_argument("--rotation_sigma", type=float, default=0.0)
+    ap.add_argument("--translation_sigma", type=float, default=0.0)
+    ap.add_argument("--point_sigma", type=float, default=0.0)
+    ap.add_argument("--random_seed", type=int, default=38401)
     ap.add_argument("--num_devices", type=int, default=1, help="mesh size (dp)")
     ap.add_argument("--initial_ply", help="write initial reconstruction PLY")
     ap.add_argument("--final_ply", help="write final reconstruction PLY")
@@ -74,10 +120,14 @@ def main():
 
     import ceres_tpu
     from ceres_tpu import (
+        DoglegType,
         HuberLoss,
         LinearSolverType,
+        MinimizerType,
         PreconditionerType,
         SolverOptions,
+        TrustRegionStrategyType,
+        VisibilityClusteringType,
     )
     from ceres_tpu.io.bal import build_ba_problem, load_bal, synthetic_bal
 
@@ -93,11 +143,24 @@ def main():
         f"{bal.num_observations} observations"
     )
     bal.normalize()
+    if args.rotation_sigma or args.translation_sigma or args.point_sigma:
+        # reference: BAL perturbation flags (bal_problem.cc Perturb)
+        bal.perturb(
+            rotation_sigma=args.rotation_sigma,
+            translation_sigma=args.translation_sigma,
+            point_sigma=args.point_sigma,
+            seed=args.random_seed,
+        )
     if args.initial_ply:
         bal.write_ply(args.initial_ply)
 
     loss = HuberLoss(1.0) if args.robustify else None
-    problem, cams, pts = build_ba_problem(bal, loss=loss)
+    problem, cams, pts = build_ba_problem(
+        bal,
+        loss=loss,
+        use_quaternions=args.use_quaternions,
+        use_manifolds=args.use_manifolds,
+    )
 
     mesh = None
     if args.num_devices > 1:
@@ -106,12 +169,30 @@ def main():
         mesh = Mesh(np.array(jax.devices()[: args.num_devices]), ("dp",))
 
     options = SolverOptions(
+        minimizer_type=(
+            MinimizerType.LINE_SEARCH if args.line_search
+            else MinimizerType.TRUST_REGION
+        ),
+        trust_region_strategy_type=TrustRegionStrategyType[
+            args.trust_region_strategy.upper()
+        ],
+        dogleg_type=DoglegType[args.dogleg.upper()],
         linear_solver_type=LinearSolverType[args.linear_solver.upper()],
         preconditioner_type=PreconditionerType[args.preconditioner.upper()],
+        visibility_clustering_type=VisibilityClusteringType[
+            args.visibility_clustering.upper()
+        ],
         max_num_iterations=args.num_iterations,
+        max_linear_solver_iterations=args.max_linear_solver_iterations,
+        max_solver_time_in_seconds=args.max_solver_time,
         eta=args.eta,
         use_inner_iterations=args.inner_iterations,
         use_nonmonotonic_steps=args.nonmonotonic_steps,
+        use_spse_initialization=args.use_spse_initialization,
+        spse_tolerance=args.spse_tolerance,
+        max_num_spse_iterations=args.max_num_spse_iterations,
+        use_mixed_precision_solves=args.mixed_precision_solves,
+        max_num_refinement_iterations=args.max_num_refinement_iterations,
         minimizer_progress_to_stdout=True,
         mesh=mesh,
     )
