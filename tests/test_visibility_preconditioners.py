@@ -284,3 +284,88 @@ def test_subset_requires_rows():
             ),
             problem,
         )
+
+
+# ------------------------------------------------------------------ #
+# exact dense-restriction comparison (multi-cluster, partial visibility)
+# ------------------------------------------------------------------ #
+
+
+def _partial_visibility_bal(nc=9, pts_per_group=8, seed=13):
+    """Three camera groups with disjoint point sets plus weak cross links:
+    single linkage at 0.9 similarity keeps the groups as separate clusters.
+    """
+    npts = 3 * pts_per_group + 3
+    base = synthetic_bal(nc, npts, nc * npts, seed=seed)
+    cam_idx, pt_idx = [], []
+    for c in range(nc):
+        g = c // 3
+        pts = list(range(g * pts_per_group, (g + 1) * pts_per_group))
+        pts.append(3 * pts_per_group + g)  # one shared point per group pair
+        cam_idx += [c] * len(pts)
+        pt_idx += pts
+    rng = np.random.default_rng(seed + 1)
+    obs = rng.normal(0.0, 100.0, (len(cam_idx), 2))
+    return BalProblem(
+        cameras=base.cameras,
+        points=base.points,
+        camera_index=np.asarray(cam_idx),
+        point_index=np.asarray(pt_idx),
+        observations=obs,
+    )
+
+
+def _dense_s_cam(program, s_apply, f_np):
+    """Materialize S restricted to camera coordinates, in f64."""
+    import jax
+
+    num_eff = program.num_effective_parameters
+    cam_pos = np.flatnonzero(f_np)
+    basis = jnp.eye(num_eff)[cam_pos]
+    s_cols = np.asarray(jax.vmap(s_apply)(basis))  # [ncam*tf, num_eff]
+    return s_cols[:, cam_pos], cam_pos
+
+
+@pytest.mark.parametrize(
+    "ptype",
+    [PreconditionerType.CLUSTER_JACOBI, PreconditionerType.CLUSTER_TRIDIAGONAL],
+)
+def test_preconditioner_matches_exact_dense_restriction(ptype):
+    """The assembled M must equal the dense S restricted to the cluster
+    sparsity (within-cluster pairs; + forest-edge pairs for TRIDIAGONAL) —
+    the documented approximations must vanish on a standard BA problem
+    (one signature group, one camera position per row)."""
+    problem, _, _ = build_ba_problem(_partial_visibility_bal())
+    program, jac_e, jac_f, ete, dsq_f, f_np, s_apply = _schur_pieces(problem)
+    prec = VisibilityPreconditioner(
+        program, jac_e, jac_f, ete, dsq_f,
+        ptype, VisibilityClusteringType.SINGLE_LINKAGE,
+    )
+    plan = prec.plan
+    assert plan.n_clusters >= 3, plan.n_clusters
+
+    s_cam, cam_pos = _dense_s_cam(program, s_apply, f_np)
+    tf = plan.tf
+    ncam = plan.n_cams
+
+    # keep mask over camera pairs
+    keep = np.zeros((ncam, ncam), dtype=bool)
+    for cl in range(plan.n_clusters):
+        rows = plan.members[cl]
+        keep[np.ix_(rows, rows)] = True
+    if ptype == PreconditionerType.CLUSTER_TRIDIAGONAL:
+        for chain in plan.chains:
+            for a, b in zip(chain[:-1], chain[1:]):
+                keep[np.ix_(plan.members[a], plan.members[b])] = True
+                keep[np.ix_(plan.members[b], plan.members[a])] = True
+    keep_big = np.kron(keep, np.ones((tf, tf), dtype=bool))
+    m_ref = np.where(keep_big, s_cam, 0.0)
+
+    rng = np.random.default_rng(17)
+    v_cam = rng.normal(size=ncam * tf)
+    expected = np.linalg.solve(m_ref, v_cam)
+
+    v = np.zeros(program.num_effective_parameters)
+    v[cam_pos] = v_cam
+    got = np.asarray(prec(jnp.asarray(v)))[cam_pos]
+    np.testing.assert_allclose(got, expected, rtol=2e-4, atol=2e-4)
