@@ -72,10 +72,28 @@ class Problem:
         self._blocks: list[_ParameterBlock] = []
         self._batches: list[_ResidualBatch] = []
         self._next_residual_handle = 0
-        self._handle_index: dict[int, tuple[int, int]] = {}  # handle -> (batch, row)
+        # handles are assigned contiguously per batch, so handle -> (batch,
+        # row) is a bisect over batch start handles (a per-handle dict costs
+        # seconds at BAL scale — 5M inserts)
+        self._batch_starts: list[int] = []
+        self._num_removed_blocks = 0
         self._dirty = True
         self._program = None
         self.evaluation_callback = evaluation_callback
+
+    def _locate_handle(self, handle: int) -> tuple:
+        """(batch index, row) of a live residual-block handle."""
+        import bisect
+
+        h = int(handle)
+        i = bisect.bisect_right(self._batch_starts, h) - 1
+        if i < 0:
+            raise KeyError(handle)
+        batch = self._batches[i]
+        row = h - batch.first_handle
+        if row >= batch.alive.shape[0] or not batch.alive[row]:
+            raise KeyError(handle)
+        return i, row
 
     # ------------------------------------------------------------------ #
     # parameter blocks
@@ -107,9 +125,11 @@ class Problem:
             raise ValueError("add_parameter_blocks expects [n, size]")
         self._check_manifold(v.shape[1], manifold)
         start = len(self._blocks)
+        v = v.copy()  # one private copy; block values are row views of it
+        blocks = self._blocks
         for i in range(v.shape[0]):
-            self._blocks.append(
-                _ParameterBlock(index=start + i, values=v[i].copy(), manifold=manifold)
+            blocks.append(
+                _ParameterBlock(index=start + i, values=v[i], manifold=manifold)
             )
         self._dirty = True
         return np.arange(start, start + v.shape[0])
@@ -173,6 +193,7 @@ class Problem:
         reference: Problem::RemoveParameterBlock (problem_impl.cc).
         """
         self._blocks[block].removed = True
+        self._num_removed_blocks += 1
         for batch in self._batches:
             hits = np.any(batch.param_ids == block, axis=1)
             batch.alive &= ~hits
@@ -216,9 +237,20 @@ class Problem:
         for d in data:
             if np.asarray(d).shape[0] != n:
                 raise ValueError("data arrays must have leading dim n")
-        for b in pid.reshape(-1):
-            if not 0 <= b < len(self._blocks) or self._blocks[b].removed:
-                raise ValueError(f"unknown parameter block {b}")
+        if n and (pid.min() < 0 or pid.max() >= len(self._blocks)):
+            bad = pid.reshape(-1)[
+                (pid.reshape(-1) < 0) | (pid.reshape(-1) >= len(self._blocks))
+            ][0]
+            raise ValueError(f"unknown parameter block {bad}")
+        if self._num_removed_blocks:
+            removed = np.fromiter(
+                (b.removed for b in self._blocks), dtype=bool,
+                count=len(self._blocks),
+            )
+            hit = removed[pid]
+            if hit.any():
+                bad = pid[hit][0]
+                raise ValueError(f"unknown parameter block {bad}")
         batch = _ResidualBatch(
             cost_function=cost_function,
             loss=loss,
@@ -227,13 +259,11 @@ class Problem:
             first_handle=self._next_residual_handle,
             alive=np.ones(n, dtype=bool),
         )
-        bi = len(self._batches)
+        self._batch_starts.append(self._next_residual_handle)
         self._batches.append(batch)
         handles = np.arange(
             self._next_residual_handle, self._next_residual_handle + n
         )
-        for row, h in enumerate(handles):
-            self._handle_index[int(h)] = (bi, row)
         self._next_residual_handle += n
         self._dirty = True
         return handles
@@ -243,7 +273,7 @@ class Problem:
 
         reference: Problem::GetParameterBlocksForResidualBlock
         (problem.h:402)."""
-        bi, row = self._handle_index[int(handle)]
+        bi, row = self._locate_handle(handle)
         return [int(b) for b in self._batches[bi].param_ids[row]]
 
     def residual_blocks_for_parameter_block(self, block: int) -> list:
@@ -266,7 +296,7 @@ class Problem:
 
     def remove_residual_block(self, handle: int):
         """reference: Problem::RemoveResidualBlock."""
-        bi, row = self._handle_index.pop(handle)
+        bi, row = self._locate_handle(handle)
         self._batches[bi].alive[row] = False
         self._dirty = True
 
@@ -320,7 +350,7 @@ class Problem:
         program = self.compile()
         rows = []
         for h in handles:
-            bi, row = self._handle_index[int(h)]
+            bi, row = self._locate_handle(h)
             gi, grow = program.handle_entry(bi, row)
             meta = program.groups[gi]
             r = meta.num_residuals
@@ -358,9 +388,12 @@ class Problem:
             nb = copy.copy(batch)
             mask = np.zeros_like(batch.alive)
             for h in keep:
-                entry = self._handle_index.get(h)
-                if entry and entry[0] == bi:
-                    mask[entry[1]] = True
+                try:
+                    ebi, erow = self._locate_handle(h)
+                except KeyError:
+                    continue
+                if ebi == bi:
+                    mask[erow] = True
             nb.alive = batch.alive & mask
             batches.append(nb)
         program = Program(self._blocks, batches, self.evaluation_callback)

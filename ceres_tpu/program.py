@@ -440,15 +440,25 @@ class Program:
         self._handle_arrays: dict = {}
 
         for bi, batch in enumerate(self._batches):
-            alive_rows = np.nonzero(batch.alive)[0]
-            if alive_rows.size == 0:
-                continue
-            sizes0 = self.sizes[batch.param_ids[alive_rows[0]]]
-            if not np.all(self.sizes[batch.param_ids[alive_rows]] == sizes0):
+            if batch.alive.all():
+                # fast path: rows=None means "all rows" (no index copies)
+                alive_rows = None
+                first = 0
+            else:
+                alive_rows = np.nonzero(batch.alive)[0]
+                if alive_rows.size == 0:
+                    continue
+                first = alive_rows[0]
+            sizes0 = self.sizes[batch.param_ids[first]]
+            rows_pid = (
+                batch.param_ids if alive_rows is None
+                else batch.param_ids[alive_rows]
+            )
+            if not np.all(self.sizes[rows_pid] == sizes0):
                 raise ValueError(
                     "all rows of a residual batch must have uniform block sizes"
                 )
-            key = self._sig_key_for_row(batch, alive_rows[0])
+            key = self._sig_key_for_row(batch, first)
             if key not in buckets:
                 buckets[key] = []
                 order.append(key)
@@ -462,23 +472,35 @@ class Program:
             bi0, rows0 = members[0]
             batch0 = self._batches[bi0]
             k = batch0.param_ids.shape[1]
-            pid = np.concatenate(
-                [self._batches[bi].param_ids[rows] for bi, rows in members]
-            )
-            data = tuple(
-                np.concatenate(
-                    [np.asarray(self._batches[bi].data[di])[rows] for bi, rows in members]
+
+            def _take(arr, rows):
+                return arr if rows is None else arr[rows]
+
+            if len(members) == 1:
+                bi, rows = members[0]
+                pid = _take(self._batches[bi].param_ids, rows)
+                data = tuple(
+                    _take(np.asarray(d), rows) for d in self._batches[bi].data
                 )
-                for di in range(len(batch0.data))
-            )
+            else:
+                pid = np.concatenate(
+                    [_take(self._batches[bi].param_ids, rows) for bi, rows in members]
+                )
+                data = tuple(
+                    np.concatenate(
+                        [
+                            _take(np.asarray(self._batches[bi].data[di]), rows)
+                            for bi, rows in members
+                        ]
+                    )
+                    for di in range(len(batch0.data))
+                )
             n = pid.shape[0]
 
             positions = []
-            a_rows, t_rows, block_ids = [], [], []
             for pos in range(k):
-                ids = pid[:, pos]
-                size = int(self.sizes[ids[0]])
-                b0 = self._blocks[ids[0]]
+                b0 = self._blocks[pid[0, pos]]
+                size = int(self.sizes[pid[0, pos]])
                 manifold = (
                     None
                     if (
@@ -493,12 +515,6 @@ class Program:
                 positions.append(
                     PositionMeta(size, tsize, manifold, a_cls, t_cls)
                 )
-                a_rows.append(self.a_row[ids].astype(np.int32))
-                # constant blocks scatter into the per-class dump row (=count)
-                tr = self.t_row[ids]
-                dump = self.tangent_class_counts[t_cls] if t_cls >= 0 else 0
-                t_rows.append(np.where(tr >= 0, tr, dump).astype(np.int32))
-                block_ids.append(ids.astype(np.int32))
 
             meta = SigGroupMeta(
                 cost_function=batch0.cost_function,
@@ -548,15 +564,26 @@ class Program:
                         plans[rpos] = ("bucket", buckets)
                     pid = pid[perm]
                     data = tuple(d[perm] for d in data)
-                    a_rows = [a[perm] for a in a_rows]
-                    t_rows = [t[perm] for t in t_rows]
-                    block_ids = [b[perm] for b in block_ids]
                 for pos, pm in enumerate(positions):
                     if pos in plans or pm.t_cls < 0:
                         continue
                     cnt = self.tangent_class_counts[pm.t_cls]
                     if cnt + 1 <= self.ONEHOT_MAX_COLS:
                         plans[pos] = ("onehot",)
+
+            # per-position row tables, built AFTER the layout permutation so
+            # the permutation touches only pid/data (not six index arrays)
+            a_rows, t_rows, block_ids = [], [], []
+            for pos, pm in enumerate(positions):
+                ids = pid[:, pos]
+                a_rows.append(self.a_row[ids].astype(np.int32))
+                # constant blocks scatter into the per-class dump row (=count)
+                tr = self.t_row[ids]
+                dump = (
+                    self.tangent_class_counts[pm.t_cls] if pm.t_cls >= 0 else 0
+                )
+                t_rows.append(np.where(tr >= 0, tr, dump).astype(np.int32))
+                block_ids.append(ids.astype(np.int32))
             meta.red_plans = plans
             meta.owner = owner
             if owner >= 0:
@@ -581,19 +608,20 @@ class Program:
                 inv[perm] = np.arange(len(perm))
             grow = 0
             for bi, rows in members:
-                m = len(rows)
+                nrows_b = self._batches[bi].param_ids.shape[0]
+                m = nrows_b if rows is None else len(rows)
                 dest = np.arange(grow, grow + m)
                 if inv is not None:
                     dest = inv[dest]
-                nrows_b = self._batches[bi].param_ids.shape[0]
                 if bi not in self._handle_arrays:
                     self._handle_arrays[bi] = (
                         np.full(nrows_b, -1, dtype=np.int64),
                         np.full(nrows_b, -1, dtype=np.int64),
                     )
                 gi_arr, grow_arr = self._handle_arrays[bi]
-                gi_arr[rows] = gi
-                grow_arr[rows] = dest
+                rows_idx = slice(None) if rows is None else rows
+                gi_arr[rows_idx] = gi
+                grow_arr[rows_idx] = dest
                 grow += m
 
             row_offset += meta.rows
