@@ -25,6 +25,8 @@ QUICK = [
     "robot_pose_mle",
     "pose_graph_2d",
     "libmv_homography",
+    "bicubic_interpolation",
+    "ellipse_approximation",
 ]
 
 
