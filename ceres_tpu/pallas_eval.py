@@ -284,17 +284,21 @@ def _scalar_full_jaxpr(fn, sizes, data_avals, dtype, manifolds=None):
         for i, s in enumerate(sizes):
             if manifolds[i] is None:
                 for j in range(s):
-                    tangents = [jnp.zeros((sz,), dtype) for sz in sizes]
-                    t = np.zeros((s,), dtype)
-                    t[j] = 1.0
-                    tangents[i] = jnp.asarray(t)
-                    cols.append(jvp(*tangents))
+                    # numpy-constant basis tangents: zeros fold away inside
+                    # the linearized pushforward (traced jnp zeros leave
+                    # dead multiply-by-zero equations that the lane
+                    # extension then pays for at every lane)
+                    tangents = [np.zeros((sz,), dtype) for sz in sizes]
+                    tangents[i][j] = 1.0
+                    cols.append(jvp(*[jnp.asarray(t) for t in tangents]))
             else:
                 pj = manifolds[i].plus_jacobian(params[i])  # [s, t_i]
                 for j in range(pj.shape[1]):
-                    tangents = [jnp.zeros((sz,), dtype) for sz in sizes]
-                    tangents[i] = pj[:, j].astype(dtype)
-                    cols.append(jvp(*tangents))
+                    targs = [
+                        jnp.asarray(np.zeros((sz,), dtype)) for sz in sizes
+                    ]
+                    targs[i] = pj[:, j].astype(dtype)
+                    cols.append(jvp(*targs))
         return (res, *cols)
 
     in_avals = [jax.ShapeDtypeStruct((s,), dtype) for s in sizes] + [
