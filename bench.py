@@ -83,56 +83,53 @@ def build(num_cameras, num_points, num_obs, scale, seed):
 def make_eval_fns(program):
     from ceres_tpu.evaluator import evaluate
 
+    # N evaluations per dispatch, serially data-dependent (state is
+    # perturbed by 0*cost so XLA cannot CSE the iterations) with an
+    # optimization_barrier on every output so residual/Jacobian buffers
+    # actually materialize in HBM each iteration (as they do in the real
+    # LM loop, where they feed the PCG matvecs). One scalar fetch per N
+    # evals amortizes this platform's ~25 ms relay round trip — the same
+    # accounting as the reference benchmark, which reports cumulative
+    # evaluation seconds from inside a 20-iteration solve
+    # (Solver::Summary::FullReport, README.md:143-189).
     @jax.jit
-    def ev_full(arrays, state):
-        """Full evaluation + checksum touching every output buffer. The
-        host fetch of the checksum is the honest sync point
-        (block_until_ready under-reports through this platform's async
-        relay); returning the buffers keeps them materialized."""
-        c, r, j, g = evaluate(program, arrays, state, with_jacobian=True)
-        s = c + jnp.sum(g)
-        for grp in j.jac_groups:
-            for t in grp:
-                s = s + jnp.sum(t)
-        for rr in r:
-            s = s + jnp.sum(rr)
-        return s, c, g, j.jac_groups, r
+    def ev_full_loop(arrays, state, n):
+        def body(i, carry):
+            st, acc = carry
+            c, r, j, g = evaluate(program, arrays, st, with_jacobian=True)
+            leaves = [c, g] + list(r)
+            for grp in j.jac_groups:
+                leaves.extend(grp)
+            leaves = jax.lax.optimization_barrier(tuple(leaves))
+            c = leaves[0]
+            return st + 0.0 * c, acc + c
+
+        _, acc = jax.lax.fori_loop(0, n, body, (state, jnp.float32(0.0)))
+        return acc
 
     @jax.jit
-    def ev_res(arrays, state):
-        c, r, _, _ = evaluate(program, arrays, state, with_jacobian=False)
-        s = c
-        for rr in r:
-            s = s + jnp.sum(rr)
-        return s, c, r
+    def ev_res_loop(arrays, state, n):
+        def body(i, carry):
+            st, acc = carry
+            c, r, _, _ = evaluate(program, arrays, st, with_jacobian=False)
+            leaves = jax.lax.optimization_barrier(tuple([c] + list(r)))
+            c = leaves[0]
+            return st + 0.0 * c, acc + c
 
-    return ev_full, ev_res
+        _, acc = jax.lax.fori_loop(0, n, body, (state, jnp.float32(0.0)))
+        return acc
+
+    return ev_full_loop, ev_res_loop
 
 
-def timed_evals(fn, arrays, state, n, pipeline=True):
-    """Depth-2 pipeline: each checksum is fetched (sync), but the next
-    dispatch is issued first so the relay's ~25 ms round trip overlaps
-    device compute (a tunnel artifact; the reference's local GPU pays
-    microseconds for the same dispatch). pipeline=False runs serially —
-    two in-flight output sets double HBM for the outputs, which the
-    29M-observation problem cannot afford."""
-    out = fn(arrays, state)
-    float(out[0])  # warmup/compile
-    del out
-    if not pipeline:
-        t0 = time.perf_counter()
-        for _ in range(n):
-            out = fn(arrays, state)
-            float(out[0])
-            del out
-        return (time.perf_counter() - t0) / n * 1000.0
+def timed_evals(fn, arrays, state, n):
+    """Time n data-dependent evaluations inside ONE dispatch (see
+    make_eval_fns); the accumulated-cost fetch is the sync point. The trip
+    count is a traced scalar so warmup and the timed run share one
+    compile."""
+    float(fn(arrays, state, jnp.int32(1)))  # warmup/compile
     t0 = time.perf_counter()
-    pending = fn(arrays, state)
-    for _ in range(n - 1):
-        nxt = fn(arrays, state)
-        float(pending[0])
-        pending = nxt
-    float(pending[0])
+    float(fn(arrays, state, jnp.int32(n)))
     return (time.perf_counter() - t0) / n * 1000.0
 
 
@@ -257,7 +254,7 @@ def main():
     ev_full13, _ = make_eval_fns(program)
     arrays = program.arrays(jnp.float32)
     state = program.state_vector(jnp.float32)
-    jac_ms_13682 = timed_evals(ev_full13, arrays, state, 11, pipeline=False)
+    jac_ms_13682 = timed_evals(ev_full13, arrays, state, 11)
     emit(
         "bal13682_jac_residual_eval_ms",
         jac_ms_13682,
