@@ -200,6 +200,23 @@ def schur_solve(program, options, jac_s, res_groups, grad_s, dsq):
     rhs = -g_f + jac_f.left_multiply(et2)
 
     if options.linear_solver_type == LinearSolverType.ITERATIVE_SCHUR:
+        if getattr(options, "use_explicit_schur_complement", False):
+            # materialize S restricted to the f-coordinates once; each PCG
+            # iteration is then a single dense MXU matmul instead of four
+            # partitioned products (reference:
+            # Options::use_explicit_schur_complement,
+            # schur_complement_solver.cc explicit path + PCG)
+            f_positions = jnp.asarray(_np_nonzero(f_mask_np), dtype=jnp.int32)
+            nf = f_positions.shape[0]
+            basis = jnp.zeros((nf, grad_s.shape[0]), dtype=dtype)
+            basis = basis.at[jnp.arange(nf), f_positions].set(1.0)
+            s_cols = jax.vmap(s_apply_exact)(basis)  # [nf, num_eff]
+            s_dense = s_cols[:, f_positions]
+            s_dense = 0.5 * (s_dense + s_dense.T)
+
+            def s_apply(y, _sd=s_dense, _fp=f_positions):
+                return jnp.zeros_like(y).at[_fp].set(_sd @ y[_fp])
+
         if options.preconditioner_type == PreconditionerType.SCHUR_JACOBI:
             blocks = schur_jacobi_blocks(program, jac_e, jac_f, ete, dsq_f)
             prec = BlockDiagSolver(program, blocks)

@@ -164,6 +164,11 @@ class SolverOptions:
     min_linear_solver_iterations: int = 0
     max_linear_solver_iterations: int = 500
     eta: float = 1e-1  # forcing-sequence tolerance for iterative solvers
+    # ITERATIVE_SCHUR: materialize S once per step and run PCG against the
+    # dense reduced matrix (one MXU matmul per CG iteration) instead of the
+    # 4-product implicit operator — wins when cameras are few and points
+    # many (reference: Solver::Options::use_explicit_schur_complement)
+    use_explicit_schur_complement: bool = False
     use_spse_initialization: bool = False
     max_num_spse_iterations: int = 5
     spse_tolerance: float = 0.1

@@ -90,6 +90,10 @@ def main():
         help="with --use_quaternions: Quaternion x Euclidean(6) manifold",
     )
     ap.add_argument(
+        "--explicit_schur_complement", action="store_true",
+        help="ITERATIVE_SCHUR: materialize S; PCG on the dense reduced matrix",
+    )
+    ap.add_argument(
         "--use_spse_initialization", action="store_true",
         help="power-series init of the ITERATIVE_SCHUR solution",
     )
@@ -188,6 +192,7 @@ def main():
         eta=args.eta,
         use_inner_iterations=args.inner_iterations,
         use_nonmonotonic_steps=args.nonmonotonic_steps,
+        use_explicit_schur_complement=args.explicit_schur_complement,
         use_spse_initialization=args.use_spse_initialization,
         spse_tolerance=args.spse_tolerance,
         max_num_spse_iterations=args.max_num_spse_iterations,

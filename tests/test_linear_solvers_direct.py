@@ -140,3 +140,32 @@ def test_cholesky_solve_mixed_refines_to_working_precision():
     assert err0 > 1e-7   # pure f32 factorization is visibly inexact
     assert err3 < 1e-11  # refinement recovers f64-level accuracy
     assert err3 < err0 / 100.0
+
+
+def test_explicit_schur_complement_matches_implicit(fixed_subproblem):
+    """use_explicit_schur_complement: PCG against the materialized S must
+    give the same step as the implicit 4-product operator."""
+    import jax.numpy as jnp
+
+    program, ev, jac, res_groups, grad = fixed_subproblem
+    radius = 1e4
+    scale = np.ones(program.num_effective_parameters)
+    deltas = []
+    for explicit in (False, True):
+        options = SolverOptions(
+            linear_solver_type=LinearSolverType.ITERATIVE_SCHUR,
+            preconditioner_type=PreconditionerType.SCHUR_JACOBI,
+            use_explicit_schur_complement=explicit,
+            max_linear_solver_iterations=500,
+            eta=0.0,
+        )
+        step_fn = make_lm_step_fn(program, options, ev)
+        delta, mcc, iters, valid = step_fn(
+            jac, list(res_groups), grad,
+            jnp.asarray(radius, grad.dtype), jnp.asarray(scale, grad.dtype),
+        )
+        assert bool(valid)
+        deltas.append(np.asarray(delta))
+    np.testing.assert_allclose(deltas[1], deltas[0], rtol=1e-6, atol=1e-9)
+    expected = _dense_reference(program, jac, grad, radius, scale)
+    np.testing.assert_allclose(deltas[1], expected, rtol=2e-5, atol=1e-8)
