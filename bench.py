@@ -159,30 +159,40 @@ def bench_lm_iterations(scale, platform):
     )
     problem, _, _ = build_ba_problem(bal, loss=HuberLoss(1.0))
 
-    from ceres_tpu.solvers.fused_loop import CHUNK_ITERS
+    from ceres_tpu.solvers import fused_loop
 
+    # Shorter fused chunks for the benchmark: this platform's TPU worker
+    # kills very long single device programs (a 20-iteration chunk with a
+    # deep PCG ran minutes and took the worker down with it), and a short
+    # chunk also gives clean compile-free steady-state chunks to time.
+    chunk = 6
     options = SolverOptions(
         linear_solver_type=LinearSolverType.ITERATIVE_SCHUR,
         preconditioner_type=PreconditionerType.SCHUR_JACOBI,
-        # one full fused chunk (pays the jit compile) + a second chunk of
-        # compile-free steady-state iterations that we actually time
-        max_num_iterations=CHUNK_ITERS + 5,
-        eta=1e-2,
+        # chunk 1 pays the jit compile; later chunks are steady state
+        max_num_iterations=3 * chunk,
+        eta=1e-1,
+        max_linear_solver_iterations=25,  # bound each chunk's runtime
         function_tolerance=0.0,
         gradient_tolerance=0.0,
         parameter_tolerance=0.0,
         min_trust_region_radius=1e-300,  # don't let radius collapse end it
         max_num_consecutive_invalid_steps=50,  # nor tiny-step rejection
     )
-    t0 = time.perf_counter()
-    summary = ceres_tpu.solve(options, problem)
-    total = time.perf_counter() - t0
+    saved_chunk = fused_loop.CHUNK_ITERS
+    fused_loop.CHUNK_ITERS = chunk
+    try:
+        t0 = time.perf_counter()
+        summary = ceres_tpu.solve(options, problem)
+        total = time.perf_counter() - t0
+    finally:
+        fused_loop.CHUNK_ITERS = saved_chunk
     iters = summary.num_successful_steps + summary.num_unsuccessful_steps
     iters = max(iters, 1)
     steady = [
         it.iteration_time_in_seconds
         for it in summary.iterations
-        if it.iteration > CHUNK_ITERS
+        if it.iteration > chunk
     ]
     if steady:
         lm_s_per_iter = sum(steady) / len(steady)
