@@ -791,9 +791,7 @@ class Program:
         wins = np.zeros(nb, dtype=np.int64)
         for gi, idx in enumerate(self.group_idx):
             ids_mat = np.stack(idx["block_ids"], axis=1)  # [n, k]
-            free = np.asarray(
-                [[self.t_offsets[b] >= 0 for b in row] for row in ids_mat]
-            )
+            free = self.t_offsets[ids_mat] >= 0
             key = degree[ids_mat] * (nb + 1) + ids_mat
             key = np.where(free, key, np.iinfo(np.int64).max)
             has_free = free.any(axis=1)
@@ -802,7 +800,28 @@ class Program:
             for pos in range(ids_mat.shape[1]):
                 np.add.at(rows_count, ids_mat[:, pos], 1)
 
-        e_mask = (wins == rows_count) & (rows_count > 0) & (self.t_offsets >= 0)
+        user_e = getattr(self, "_user_e_blocks", None)
+        if user_e is not None:
+            # user-specified elimination group (reference:
+            # Solver::Options::linear_solver_ordering group 0,
+            # reorder_program.cc). Must be an independent set: no residual
+            # row may touch two eliminated blocks.
+            e_mask = np.zeros(nb, dtype=bool)
+            sel = np.asarray(list(user_e), dtype=np.int64)
+            e_mask[sel] = True
+            e_mask &= self.t_offsets >= 0
+            for gi, idx in enumerate(self.group_idx):
+                ids_mat = np.stack(idx["block_ids"], axis=1)
+                if int(e_mask[ids_mat].sum(axis=1).max(initial=0)) > 1:
+                    raise ValueError(
+                        "linear_solver_ordering group 0 is not an "
+                        "independent set: a residual block touches two "
+                        "eliminated parameter blocks"
+                    )
+        else:
+            e_mask = (
+                (wins == rows_count) & (rows_count > 0) & (self.t_offsets >= 0)
+            )
 
         # demote until every group position is uniformly e or f, and at most
         # one e-position per group (each residual row may touch only one

@@ -41,6 +41,14 @@ def solve(options, problem) -> Summary:
     summary.preconditioner_type_used = options.preconditioner_type
 
     program = problem.compile(options)
+    if options.linear_solver_ordering is not None:
+        # reference: user linear_solver_ordering group 0 pins the
+        # eliminated blocks (reorder_program.cc); here it overrides the
+        # automatic independent-set Schur partition
+        program._user_e_blocks = frozenset(
+            int(h) for h in options.linear_solver_ordering
+        )
+        program._schur_partition = None
     from ..types import PreconditionerType
 
     if (

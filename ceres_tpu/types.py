@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import dataclasses
 import enum
-from typing import Any, Callable, Optional
+from typing import Any, Callable, Optional, Sequence
 
 
 class LinearSolverType(enum.Enum):
@@ -169,6 +169,11 @@ class SolverOptions:
     # 4-product implicit operator — wins when cameras are few and points
     # many (reference: Solver::Options::use_explicit_schur_complement)
     use_explicit_schur_complement: bool = False
+    # Parameter-block handles to eliminate in Schur-type solvers (the role
+    # of Solver::Options::linear_solver_ordering group 0,
+    # reorder_program.cc). None = automatic independent-set partition. The
+    # given blocks must form an independent set (validated at solve time).
+    linear_solver_ordering: Optional[Sequence[int]] = None
     use_spse_initialization: bool = False
     max_num_spse_iterations: int = 5
     spse_tolerance: float = 0.1

@@ -169,3 +169,41 @@ def test_explicit_schur_complement_matches_implicit(fixed_subproblem):
     np.testing.assert_allclose(deltas[1], deltas[0], rtol=1e-6, atol=1e-9)
     expected = _dense_reference(program, jac, grad, radius, scale)
     np.testing.assert_allclose(deltas[1], expected, rtol=2e-5, atol=1e-8)
+
+
+def test_user_linear_solver_ordering():
+    """linear_solver_ordering pins the eliminated blocks: eliminating the
+    cameras instead of the points must still solve to the same cost, and a
+    non-independent group 0 must be rejected
+    (reference: Solver::Options::linear_solver_ordering group 0)."""
+    import ceres_tpu
+    from ceres_tpu.io.bal import build_ba_problem, synthetic_bal
+
+    results = {}
+    for ordering in ("auto", "points", "cameras"):
+        bal = synthetic_bal(6, 40, 200, seed=9)
+        problem, cams, pts = build_ba_problem(bal)
+        opts = SolverOptions(
+            linear_solver_type=LinearSolverType.ITERATIVE_SCHUR,
+            preconditioner_type=PreconditionerType.SCHUR_JACOBI,
+            max_num_iterations=12,
+            linear_solver_ordering=(
+                None if ordering == "auto"
+                else [int(h) for h in (pts if ordering == "points" else cams)]
+            ),
+        )
+        s = ceres_tpu.solve(opts, problem)
+        results[ordering] = s.final_cost
+    np.testing.assert_allclose(results["points"], results["auto"], rtol=1e-6)
+    np.testing.assert_allclose(results["cameras"], results["auto"], rtol=1e-4)
+
+    # invalid: both blocks of a residual eliminated
+    bal = synthetic_bal(6, 40, 200, seed=9)
+    problem, cams, pts = build_ba_problem(bal)
+    opts = SolverOptions(
+        linear_solver_type=LinearSolverType.ITERATIVE_SCHUR,
+        linear_solver_ordering=[int(h) for h in cams] + [int(h) for h in pts],
+        max_num_iterations=3,
+    )
+    with pytest.raises(ValueError, match="independent set"):
+        ceres_tpu.solve(opts, problem)
