@@ -90,6 +90,12 @@ def main():
         help="with --use_quaternions: Quaternion x Euclidean(6) manifold",
     )
     ap.add_argument(
+        "--linear_solver_ordering",
+        default="automatic", choices=["automatic", "points", "cameras"],
+        help="which blocks Schur solvers eliminate (reference: "
+             "linear_solver_ordering group 0; automatic = independent set)",
+    )
+    ap.add_argument(
         "--explicit_schur_complement", action="store_true",
         help="ITERATIVE_SCHUR: materialize S; PCG on the dense reduced matrix",
     )
@@ -193,6 +199,12 @@ def main():
         use_inner_iterations=args.inner_iterations,
         use_nonmonotonic_steps=args.nonmonotonic_steps,
         use_explicit_schur_complement=args.explicit_schur_complement,
+        linear_solver_ordering=(
+            None if args.linear_solver_ordering == "automatic"
+            else [int(h) for h in (
+                pts if args.linear_solver_ordering == "points" else cams
+            )]
+        ),
         use_spse_initialization=args.use_spse_initialization,
         spse_tolerance=args.spse_tolerance,
         max_num_spse_iterations=args.max_num_spse_iterations,
