@@ -262,7 +262,8 @@ def lane_eval(jaxpr, consts, args, C):
 # ---------------------------------------------------------------------- #
 
 
-def _scalar_full_jaxpr(fn, sizes, data_avals, dtype, manifolds=None):
+def _scalar_full_jaxpr(fn, sizes, data_avals, dtype, manifolds=None,
+                       with_jacobian=True):
     """Closed jaxpr of (p_0..p_k, d_0..) -> (res [r], col_0 [r], ...,
     col_{T-1} [r]): one primal linearize + T unrolled pushforwards (the
     per-signature Jet evaluation of the reference, autodiff.h:318, with the
@@ -279,6 +280,8 @@ def _scalar_full_jaxpr(fn, sizes, data_avals, dtype, manifolds=None):
     def scalar_full(*args):
         params = args[: len(sizes)]
         data = args[len(sizes):]
+        if not with_jacobian:
+            return (fn(params, data),)
         res, jvp = jax.linearize(lambda *ps: fn(ps, data), *params)
         cols = []
         for i, s in enumerate(sizes):
@@ -376,7 +379,8 @@ class GroupKernel:
     chunking (the XLA path's LANE_CHUNK machinery exists because its fusion
     temporaries scale with the slice size)."""
 
-    def __init__(self, meta, data_avals, dtype, apply_loss, has_mask):
+    def __init__(self, meta, data_avals, dtype, apply_loss, has_mask,
+                 with_jacobian=True):
         self.meta = meta
         self.sizes = tuple(int(pm.size) for pm in meta.positions)
         # Jacobian blocks are emitted in tangent space; for manifold
@@ -387,12 +391,14 @@ class GroupKernel:
         self.r = int(meta.cost_function.num_residuals)
         self.dtype = dtype
         self.apply_loss = apply_loss
+        self.with_jacobian = with_jacobian
         self.has_mask = has_mask
         self.loss = meta.loss if apply_loss else None
         self.data_scalar_shapes = tuple(tuple(a.shape) for a in data_avals)
         self.closed = _scalar_full_jaxpr(
             meta.cost_function.fn, self.sizes, data_avals, dtype,
             manifolds=[pm.manifold for pm in meta.positions],
+            with_jacobian=with_jacobian,
         )
         # probe the lane interpreter (and the loss) on abstract values now so
         # unsupported primitives surface here — group_kernel() catches and
@@ -432,6 +438,7 @@ class GroupKernel:
         has_mask = mask_T is not None
         n_consts = len(closed.consts)
         n_params = len(params_T)
+        n_jac = n_params if self.with_jacobian else 0
         n_data = len(data_T)
 
         def kernel(*refs):
@@ -442,8 +449,8 @@ class GroupKernel:
             mref = refs[k] if has_mask else None
             outs_off = k + (1 if has_mask else 0)
             res_ref = refs[outs_off]
-            jac_refs = refs[outs_off + 1 : outs_off + 1 + n_params]
-            cost_ref = refs[outs_off + 1 + n_params]
+            jac_refs = refs[outs_off + 1 : outs_off + 1 + n_jac]
+            cost_ref = refs[outs_off + 1 + n_jac]
 
             i = pl.program_id(0)
             consts = [
@@ -492,7 +499,7 @@ class GroupKernel:
 
             res_ref[...] = res
             off = 0
-            for pos, t in enumerate(tangent_sizes):
+            for pos, t in enumerate(tangent_sizes if jac_refs else ()):
                 block = jnp.concatenate(
                     [
                         jnp.stack([cols[off + j][rr] for j in range(t)])
@@ -522,11 +529,12 @@ class GroupKernel:
             in_specs.append(
                 pl.BlockSpec((1, C), lambda i: (0, i), memory_space=pltpu.VMEM)
             )
+        jac_ts = tangent_sizes if self.with_jacobian else ()
         out_specs = (
             [pl.BlockSpec((r, C), lambda i: (0, i), memory_space=pltpu.VMEM)]
             + [
                 pl.BlockSpec((r * t, C), lambda i: (0, i), memory_space=pltpu.VMEM)
-                for t in tangent_sizes
+                for t in jac_ts
             ]
             + [pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)]
         )
@@ -534,7 +542,7 @@ class GroupKernel:
             [jax.ShapeDtypeStruct((r, n), self.dtype)]
             + [
                 jax.ShapeDtypeStruct((r * t, n), self.dtype)
-                for t in tangent_sizes
+                for t in jac_ts
             ]
             + [jax.ShapeDtypeStruct((1, 1), self.dtype)]
         )
@@ -557,12 +565,12 @@ class GroupKernel:
             interpret=_interpret_mode(),
         )(*inputs)
         res_T = outs[0]
-        jacs_T = tuple(outs[1 : 1 + n_params])
+        jacs_T = tuple(outs[1 : 1 + n_jac])
         cost = outs[-1][0, 0]
         return cost, res_T, jacs_T
 
 
-def group_kernel(meta, garr, dtype, apply_loss):
+def group_kernel(meta, garr, dtype, apply_loss, with_jacobian=True):
     """Build (and cache on meta) a GroupKernel, or return None when the
     group is not kernel-eligible: non-f32 dtype (Mosaic has no f64), data
     leaves of rank > 2, unsupported primitives in the functor OR in a
@@ -578,7 +586,7 @@ def group_kernel(meta, garr, dtype, apply_loss):
         if jnp.issubdtype(d.dtype, jnp.integer):
             return None
     has_mask = garr.get("mask") is not None
-    key = (bool(apply_loss), has_mask, str(dtype))
+    key = (bool(apply_loss), has_mask, str(dtype), bool(with_jacobian))
     cache = getattr(meta, "_pallas_kernels", None)
     if cache is None:
         cache = {}
@@ -589,7 +597,8 @@ def group_kernel(meta, garr, dtype, apply_loss):
         data_avals = tuple(
             jax.ShapeDtypeStruct(tuple(d.shape[1:]), d.dtype) for d in garr["data"]
         )
-        k = GroupKernel(meta, data_avals, dtype, apply_loss, has_mask)
+        k = GroupKernel(meta, data_avals, dtype, apply_loss, has_mask,
+                        with_jacobian=with_jacobian)
     except Exception:
         k = None
     cache[key] = k

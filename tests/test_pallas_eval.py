@@ -232,3 +232,60 @@ def test_quaternion_manifold_jacobian_is_tangent_sized():
         assert m.positions[qpos].size == 4
         assert m.positions[qpos].tangent_size == 3
         assert k.tangent_sizes[qpos] == 3
+
+
+def test_residual_only_kernel_matches_xla():
+    """The residual-only kernel variant (no pushforwards) must match the
+    XLA path's cost and loss-scaled residuals."""
+    bal = synthetic_bal(6, 40, 150, seed=13)
+    problem, _, _ = build_ba_problem(bal, loss=None)
+    program = problem.compile()
+    arrays = program.arrays(jnp.float32)
+    # kernel engages for with_jacobian=False
+    assert any(
+        pallas_eval.group_kernel(m, g, jnp.float32, True, with_jacobian=False)
+        is not None
+        for m, g in zip(program.groups, arrays["groups"])
+    )
+    state = program.state_vector(jnp.float32)
+    f = jax.jit(lambda a, s: evaluate(program, a, s, with_jacobian=False))
+    c1, r1, _, _ = f(arrays, state)
+    os.environ["CERES_TPU_NO_PALLAS"] = "1"
+    _clear_kernel_cache(program)
+    try:
+        f2 = jax.jit(lambda a, s: evaluate(program, a, s, with_jacobian=False))
+        c2, r2, _, _ = f2(arrays, state)
+    finally:
+        del os.environ["CERES_TPU_NO_PALLAS"]
+        _clear_kernel_cache(program)
+    assert abs(float(c1) - float(c2)) <= 1e-4 * (1.0 + abs(float(c2)))
+    for a, b in zip(r1, r2):
+        np.testing.assert_allclose(a, b, rtol=5e-5, atol=5e-5)
+
+
+def test_residual_only_kernel_with_loss_scales_residuals():
+    rng = np.random.RandomState(2)
+    p = Problem()
+    xs = [p.add_parameter_block(rng.randn(3)) for _ in range(8)]
+    data = rng.randn(30, 2) * 2.0
+    idx = rng.randint(0, 8, 30)
+    cf = CostFunction(lambda params, d: params[0][:2] * params[0][2] - d[0], 2)
+    for i in range(30):
+        p.add_residual_block(cf, HuberLoss(0.5), [xs[idx[i]]], data=(data[i],))
+    program = p.compile()
+    arrays = program.arrays(jnp.float32)
+    state = program.state_vector(jnp.float32)
+    f = jax.jit(lambda a, s: evaluate(program, a, s, with_jacobian=False))
+    c1, r1, _, _ = f(arrays, state)
+    os.environ["CERES_TPU_NO_PALLAS"] = "1"
+    _clear_kernel_cache(program)
+    try:
+        c2, r2, _, _ = jax.jit(
+            lambda a, s: evaluate(program, a, s, with_jacobian=False)
+        )(arrays, state)
+    finally:
+        del os.environ["CERES_TPU_NO_PALLAS"]
+        _clear_kernel_cache(program)
+    assert abs(float(c1) - float(c2)) <= 1e-4 * (1.0 + abs(float(c2)))
+    for a, b in zip(r1, r2):
+        np.testing.assert_allclose(a, b, rtol=5e-5, atol=5e-5)
