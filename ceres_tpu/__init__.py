@@ -7,7 +7,7 @@ signature into vmapped XLA evaluations, Jacobians stay matrix-free on
 device, and multi-chip scaling uses jax.sharding meshes + collectives.
 """
 
-from .autodiff import CostFunction, NumericDiffCostFunction
+from .autodiff import AnalyticCostFunction, CostFunction, NumericDiffCostFunction
 from .loss import (
     ArctanLoss,
     CauchyLoss,
@@ -55,6 +55,7 @@ from .types import (
 __version__ = "0.1.0"
 
 __all__ = [
+    "AnalyticCostFunction",
     "CostFunction",
     "NumericDiffCostFunction",
     "Problem",

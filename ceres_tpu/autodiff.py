@@ -200,6 +200,64 @@ class CostFunction:
         return self.fn(params, data)
 
 
+def analytic_diff(fn: Callable, jac: Callable):
+    """Wrap a functor whose Jacobians are user-supplied closed forms.
+
+    Parity: SizedCostFunction / analytic CostFunction::Evaluate
+    (include/ceres/sized_cost_function.h; examples
+    helloworld_analytic_diff.cc, rosenbrock_analytic_diff.cc). The reference
+    lets the user hand-write `Evaluate(parameters, residuals, jacobians)`;
+    here the user writes `jac(params, data) -> tuple of [r, size_i]` arrays
+    and jax.custom_jvp routes every downstream linearize/vmap/jit through it,
+    so analytic blocks batch and fuse exactly like autodiff blocks.
+    """
+
+    @jax.custom_jvp
+    def wrapped(params, data):
+        return fn(params, data)
+
+    @wrapped.defjvp
+    def wrapped_jvp(primals, tangents):
+        params, data = primals
+        dparams, _ = tangents
+        val = fn(params, data)
+        jacs = jac(params, data)
+        if len(jacs) != len(params):
+            raise ValueError(
+                f"jac returned {len(jacs)} Jacobians for {len(params)} "
+                "parameter blocks"
+            )
+        out_tangent = sum(
+            jnp.einsum("rp,p->r", jnp.asarray(j), dp)
+            for j, dp in zip(jacs, dparams)
+        )
+        return val, out_tangent
+
+    return wrapped
+
+
+class AnalyticCostFunction(CostFunction):
+    """CostFunction with user-supplied analytic Jacobians.
+
+    Parity: sized_cost_function.h — the user hand-derives d(residual)/d(block)
+    instead of relying on autodiff. `jac(params, data)` must return one
+    [num_residuals, block_size] array per parameter block.
+    """
+
+    def __init__(
+        self,
+        fn: Callable,
+        jac: Callable,
+        num_residuals: int,
+        name: str | None = None,
+    ):
+        super().__init__(
+            analytic_diff(fn, jac),
+            num_residuals,
+            name=name or getattr(fn, "__name__", "analytic_cost"),
+        )
+
+
 class NumericDiffCostFunction(CostFunction):
     """CostFunction differentiated by finite differences.
 

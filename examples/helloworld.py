@@ -17,7 +17,13 @@ jax.config.update("jax_enable_x64", True)
 import jax.numpy as jnp
 
 import ceres_tpu
-from ceres_tpu import CostFunction, NumericDiffCostFunction, Problem, SolverOptions
+from ceres_tpu import (
+    AnalyticCostFunction,
+    CostFunction,
+    NumericDiffCostFunction,
+    Problem,
+    SolverOptions,
+)
 
 
 def f(params, data):
@@ -25,19 +31,9 @@ def f(params, data):
     return jnp.stack([10.0 - x[0]])
 
 
-def analytic_f(params, data):
-    # "analytic" derivatives in JAX = a custom_jvp
-    @jax.custom_jvp
-    def r(x0):
-        return 10.0 - x0
-
-    @r.defjvp
-    def r_jvp(primals, tangents):
-        (x0,), (dx0,) = primals, tangents
-        return 10.0 - x0, -dx0
-
-    (x,) = params
-    return jnp.stack([r(x[0])])
+def f_jac(params, data):
+    # hand-derived d(10 - x)/dx = -1 (helloworld_analytic_diff.cc)
+    return (jnp.array([[-1.0]]),)
 
 
 def run(cost_function, label):
@@ -52,4 +48,4 @@ def run(cost_function, label):
 if __name__ == "__main__":
     run(CostFunction(f, 1), "autodiff      ")
     run(NumericDiffCostFunction(f, 1, method="CENTRAL"), "numeric diff  ")
-    run(CostFunction(analytic_f, 1), "analytic (jvp)")
+    run(AnalyticCostFunction(f, f_jac, 1), "analytic      ")
