@@ -32,6 +32,7 @@ from .manifolds import (
     SubsetManifold,
 )
 from .covariance import Covariance, CovarianceOptions
+from .ordering import ParameterBlockOrdering
 from .gradient_checker import check_gradients
 from .gradient_problem import GradientProblem, solve_gradient_problem
 from .problem import Problem
@@ -57,6 +58,7 @@ __version__ = "0.1.0"
 __all__ = [
     "AnalyticCostFunction",
     "CostFunction",
+    "ParameterBlockOrdering",
     "NumericDiffCostFunction",
     "Problem",
     "SolverOptions",

@@ -85,3 +85,44 @@ def solve_gradient_problem(options, problem: GradientProblem, x0) -> tuple:
     summary.total_time_in_seconds = time.time() - total_start
     summary.minimizer_time_in_seconds = summary.total_time_in_seconds
     return np.asarray(x), summary
+
+
+def numeric_diff_first_order(
+    f: Callable,
+    method: str = "CENTRAL",
+    relative_step_size: float = 1e-6,
+    min_step_size: float = 1e-12,
+):
+    """Wrap a scalar objective so its gradient is finite differences.
+
+    Parity: numeric_diff_first_order_function.h — a FirstOrderFunction for
+    objectives that are not differentiable by the autodiff engine. The
+    wrapped function is a drop-in `GradientProblem` objective: its
+    custom_jvp pushes forward the finite-difference gradient, so
+    jax.value_and_grad works unchanged.
+    """
+    method = method.upper()
+    if method not in ("CENTRAL", "FORWARD"):
+        raise ValueError(f"unknown numeric diff method {method}")
+
+    @jax.custom_jvp
+    def wrapped(x):
+        return f(x)
+
+    @wrapped.defjvp
+    def wrapped_jvp(primals, tangents):
+        (x,) = primals
+        (dx,) = tangents
+        v = f(x)
+        step = jnp.maximum(relative_step_size * jnp.abs(x), min_step_size)
+
+        def col(i):
+            e = jnp.zeros_like(x).at[i].set(step[i])
+            if method == "FORWARD":
+                return (f(x + e) - v) / step[i]
+            return (f(x + e) - f(x - e)) / (2.0 * step[i])
+
+        g = jnp.stack([col(i) for i in range(x.shape[0])])
+        return v, jnp.vdot(g, dx)
+
+    return wrapped

@@ -488,3 +488,71 @@ class AutoDiffManifold(Manifold):
             and self._ambient == other._ambient
             and self._tangent == other._tangent
         )
+
+
+def check_manifold_invariants(manifold: Manifold, x, delta, tol: float = 1e-8):
+    """Verify the manifold axioms at (x, delta).
+
+    Parity: include/ceres/manifold_test_utils.h — the reference's
+    EXPECT_THAT(manifold, XPlusZeroIsXAt(x)) etc. matcher suite, as one
+    callable usable from tests and from user code validating a custom
+    AutoDiffManifold. Checks (names per the reference matchers):
+
+      - XPlusZeroIsX:          Plus(x, 0) == x
+      - XMinusXIsZero:         Minus(x, x) == 0
+      - MinusPlusIsIdentity:   Minus(Plus(x, delta), x) == delta
+      - PlusMinusIsIdentity:   Plus(x, Minus(y, x)) == y for y = Plus(x, delta)
+      - HasCorrectPlusJacobian:  plus_jacobian == autodiff d Plus/d delta at 0
+      - HasCorrectMinusJacobian: minus_jacobian == autodiff d Minus/d y at x
+
+    Raises AssertionError naming the failed axiom. `delta` should be small
+    enough to stay inside the injectivity radius (the reference uses
+    norm <= 0.5).
+    """
+    x = jnp.asarray(x, dtype=jnp.float64)
+    delta = jnp.asarray(delta, dtype=jnp.float64)
+    zero = jnp.zeros(manifold.tangent_size, dtype=x.dtype)
+
+    def _close(a, b, name):
+        a, b = np.asarray(a, dtype=np.float64), np.asarray(b, dtype=np.float64)
+        err = float(np.max(np.abs(a - b))) if a.size else 0.0
+        if not np.all(np.isfinite(a)) or err > tol:
+            raise AssertionError(
+                f"manifold axiom {name} failed: max abs error {err:.3e} > {tol:.1e}"
+            )
+
+    _close(manifold.plus(x, zero), x, "XPlusZeroIsX")
+    _close(manifold.minus(x, x), zero, "XMinusXIsZero")
+    y = manifold.plus(x, delta)
+    _close(manifold.minus(y, x), delta, "MinusPlusIsIdentity")
+    _close(manifold.plus(x, manifold.minus(y, x)), y, "PlusMinusIsIdentity")
+
+    # Jacobian axioms are checked by central differences, not jax.jacfwd:
+    # Plus/Minus are written branch-free with jnp.where selects whose
+    # autodiff at the singular point (delta = 0 / y = x) is undefined —
+    # the values are exact there but jacfwd through the dead branch is
+    # not (the reference's matchers likewise difference numerically).
+    h = 1e-6
+
+    def _fd_jac(f, z0, out_size):
+        cols = []
+        for i in range(z0.shape[0]):
+            e = jnp.zeros_like(z0).at[i].set(h)
+            cols.append((f(z0 + e) - f(z0 - e)) / (2.0 * h))
+        return jnp.stack(cols, axis=1)
+
+    _close_tol = max(tol, 1e-7)
+    a = manifold.plus_jacobian(x)
+    b = _fd_jac(lambda d: manifold.plus(x, d), zero, manifold.ambient_size)
+    if float(jnp.max(jnp.abs(a - b))) > _close_tol:
+        raise AssertionError(
+            "manifold axiom HasCorrectPlusJacobian failed: max abs error "
+            f"{float(jnp.max(jnp.abs(a - b))):.3e} > {_close_tol:.1e}"
+        )
+    a = manifold.minus_jacobian(x)
+    b = _fd_jac(lambda yy: manifold.minus(yy, x), x, manifold.tangent_size)
+    if float(jnp.max(jnp.abs(a - b))) > _close_tol:
+        raise AssertionError(
+            "manifold axiom HasCorrectMinusJacobian failed: max abs error "
+            f"{float(jnp.max(jnp.abs(a - b))):.3e} > {_close_tol:.1e}"
+        )

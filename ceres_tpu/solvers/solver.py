@@ -44,9 +44,13 @@ def solve(options, problem) -> Summary:
     if options.linear_solver_ordering is not None:
         # reference: user linear_solver_ordering group 0 pins the
         # eliminated blocks (reorder_program.cc); here it overrides the
-        # automatic independent-set Schur partition
+        # automatic independent-set Schur partition. Accepts a flat
+        # handle sequence or a ParameterBlockOrdering (ordered_groups.h),
+        # whose first group is the eliminated set.
+        from ..ordering import eliminated_handles
+
         program._user_e_blocks = frozenset(
-            int(h) for h in options.linear_solver_ordering
+            int(h) for h in eliminated_handles(options.linear_solver_ordering)
         )
         program._schur_partition = None
     from ..types import PreconditionerType

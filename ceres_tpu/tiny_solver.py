@@ -113,3 +113,18 @@ def tiny_solve_batched(residual_fn, x0_batch, options: TinySolverOptions = TinyS
     """vmap of tiny_solve over a batch of problems: x0_batch [n, p];
     residual_fn maps [p] -> [r]."""
     return jax.vmap(lambda x0: tiny_solve(residual_fn, x0, options))(x0_batch)
+
+
+def cost_function_adapter(cost, data=()):
+    """Adapt a single-block CostFunction to a tiny_solve residual function.
+
+    Parity: tiny_solver_cost_function_adapter.h — run an existing
+    Problem-style cost (autodiff, numeric, or analytic; see
+    tiny_solver_autodiff_function.h for the autodiff case, which plain
+    `tiny_solve(fn, x0)` already covers) through the dense TinySolver.
+    """
+
+    def residual_fn(x):
+        return cost.fn((x,), data)
+
+    return residual_fn

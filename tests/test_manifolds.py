@@ -32,6 +32,13 @@ def random_point(m):
     if isinstance(m, LineManifold):
         n = m.size
         x[n:] /= np.linalg.norm(x[n:])
+    if isinstance(m, ProductManifold):
+        # valid point per factor (quaternion factors must be unit norm)
+        parts, off = [], 0
+        for f in m.manifolds:
+            parts.append(np.asarray(random_point(f)))
+            off += f.ambient_size
+        return jnp.concatenate([jnp.asarray(p) for p in parts])
     return jnp.asarray(x)
 
 
@@ -160,3 +167,28 @@ def test_autodiff_manifold_matches_explicit():
     m = AutoDiffManifold(plus_fn, minus_fn, 3, 3)
     x = jnp.asarray([1.0, 2.0, 3.0])
     np.testing.assert_allclose(m.plus_jacobian(x), np.eye(3), atol=1e-12)
+
+
+@pytest.mark.parametrize("m", MANIFOLDS, ids=lambda m: type(m).__name__)
+def test_check_manifold_invariants(m):
+    """The manifold_test_utils.h matcher suite as one callable."""
+    from ceres_tpu.manifolds import check_manifold_invariants
+
+    rng = np.random.default_rng(7)
+    x = random_point(m)
+    delta = jnp.asarray(0.2 * rng.standard_normal(m.tangent_size))
+    check_manifold_invariants(m, x, delta, tol=1e-8)
+
+
+def test_check_manifold_invariants_catches_bad_manifold():
+    from ceres_tpu.manifolds import check_manifold_invariants
+
+    class Bad(AutoDiffManifold):
+        pass
+
+    # plus/minus disagree: Minus(Plus(x, d), x) != d
+    m = AutoDiffManifold(lambda x, d: x + 2.0 * d, lambda y, x: y - x, 3, 3)
+    with pytest.raises(AssertionError, match="MinusPlusIsIdentity"):
+        check_manifold_invariants(
+            m, jnp.asarray([1.0, 2.0, 3.0]), jnp.asarray([0.1, 0.2, 0.3])
+        )
