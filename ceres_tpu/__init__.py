@@ -8,6 +8,12 @@ device, and multi-chip scaling uses jax.sharding meshes + collectives.
 """
 
 from .autodiff import AnalyticCostFunction, CostFunction, NumericDiffCostFunction
+from .cost_functions import (
+    conditioned_cost_function,
+    cost_function_to_functor,
+    normal_prior,
+    scaled_cost_function,
+)
 from .loss import (
     ArctanLoss,
     CauchyLoss,
@@ -44,6 +50,7 @@ from .types import (
     LinearSolverType,
     LineSearchDirectionType,
     LineSearchType,
+    LoggingType,
     MinimizerType,
     PreconditionerType,
     SolverOptions,
@@ -74,6 +81,11 @@ __all__ = [
     "CallbackReturnType",
     "LineSearchDirectionType",
     "LineSearchType",
+    "LoggingType",
+    "normal_prior",
+    "conditioned_cost_function",
+    "cost_function_to_functor",
+    "scaled_cost_function",
     "LossFunction",
     "TrivialLoss",
     "HuberLoss",

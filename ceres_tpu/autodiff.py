@@ -227,6 +227,16 @@ def analytic_diff(fn: Callable, jac: Callable):
                 f"jac returned {len(jacs)} Jacobians for {len(params)} "
                 "parameter blocks"
             )
+        nr = jnp.shape(val)[0] if jnp.ndim(val) else 1
+        for i, (j, p) in enumerate(zip(jacs, params)):
+            expect = (nr, jnp.shape(jnp.asarray(p))[0])
+            got = jnp.shape(jnp.asarray(j))
+            if tuple(got) != expect:
+                raise ValueError(
+                    f"analytic Jacobian for parameter block {i} has shape "
+                    f"{tuple(got)}; expected [num_residuals, block_size] = "
+                    f"{expect}"
+                )
         out_tangent = sum(
             jnp.einsum("rp,p->r", jnp.asarray(j), dp)
             for j, dp in zip(jacs, dparams)

@@ -148,6 +148,67 @@ def schur_jacobi_blocks(program, jac_e, jac_f, ete_solver, dsq_f):
     return out
 
 
+def make_power_series_applier(
+    program, jac_e, jac_f, ete, dsq_f, spse_tolerance, max_iterations
+):
+    """y ~ S^{-1} x via the truncated Neumann series around blockdiag(F'F).
+
+    reference: PowerSeriesExpansionPreconditioner::RightMultiplyAndAccumulate
+    (power_series_expansion_preconditioner.cc:51-72) with the inverse
+    power-series operator
+    ImplicitSchurComplement::InversePowerSeriesOperatorRightMultiplyAccumulate
+    (implicit_schur_complement.cc:146-172):
+
+        y_0    = P^{-1} x,                 P = blockdiag(F'F + D_f^2)
+        term_i = P^{-1} F'E (E'E+D_e^2)^{-1} E'F term_{i-1}
+        y      = y_0 + term_1 + ... until i >= max_iterations or
+                 |term_i| < spse_tolerance * |y_0|
+
+    Serves both roles the reference gives it: the
+    SCHUR_POWER_SERIES_EXPANSION preconditioner and the
+    use_spse_initialization PCG warm start
+    (iterative_schur_complement_solver.cc:95-107). Runs as a
+    lax.while_loop, entirely on device.
+    """
+    ftf_inv = BlockDiagSolver(program, jac_f.block_diag_jtj(dsq=dsq_f))
+    max_iterations = max(0, int(max_iterations))
+
+    def series_term(prev):
+        t1 = jac_f.right_multiply(prev)  # F p (residual-space groups)
+        t2 = ete(jac_e.left_multiply(t1))  # (E'E)^{-1} E'F p
+        t3 = jac_e.right_multiply(t2)  # E (...)
+        return ftf_inv(jac_f.left_multiply(t3))  # P^{-1} F'E (...)
+
+    def apply(x):
+        y0 = ftf_inv(x)
+        if max_iterations < 1:
+            return y0
+        threshold = spse_tolerance * jnp.linalg.norm(y0)
+
+        def cond(c):
+            _i, _y, _prev, go = c
+            return go
+
+        def body(c):
+            i, y, prev, _ = c
+            term = series_term(prev)
+            y = y + term
+            # reference loop: term i is added, then `break` if
+            # i >= max_num_spse_iterations or |term| < threshold — so terms
+            # run i = 1..max inclusive
+            go = jnp.logical_and(
+                i < max_iterations, jnp.linalg.norm(term) >= threshold
+            )
+            return (i + 1, y, term, go)
+
+        _, y, _, _ = jax.lax.while_loop(
+            cond, body, (jnp.asarray(1, jnp.int32), y0, y0, jnp.asarray(True))
+        )
+        return y
+
+    return apply
+
+
 def schur_solve(program, options, jac_s, res_groups, grad_s, dsq):
     """Solve (J^T J + diag(dsq)) step = -grad via the Schur complement.
 
@@ -242,25 +303,24 @@ def schur_solve(program, options, jac_s, res_groups, grad_s, dsq):
             options.preconditioner_type
             == PreconditionerType.SCHUR_POWER_SERIES_EXPANSION
         ):
-            # M^{-1} v ~ truncated Neumann series around P = blockdiag(S):
-            # y <- y + P^{-1}(v - S y), a fixed number of fixed-point steps.
-            # reference: power_series_expansion_preconditioner.cc.
-            blocks = schur_jacobi_blocks(program, jac_e, jac_f, ete, dsq_f)
-            pinv = BlockDiagSolver(program, blocks)
-            iters = max(1, options.max_num_spse_iterations)
-
-            def prec(v, _pinv=pinv, _iters=iters):
-                y0 = _pinv(v)
-
-                def body(_, y):
-                    return y + _pinv(v - s_apply(y))
-
-                return jax.lax.fori_loop(0, _iters - 1, body, y0)
+            prec = make_power_series_applier(
+                program, jac_e, jac_f, ete, dsq_f,
+                options.spse_tolerance, max(1, options.max_num_spse_iterations),
+            )
         else:
             prec = None
+        # PCG warm start from a truncated power-series solve of S x = rhs
+        # (reference: iterative_schur_complement_solver.cc:95-107).
+        x0 = None
+        if getattr(options, "use_spse_initialization", False):
+            x0 = make_power_series_applier(
+                program, jac_e, jac_f, ete, dsq_f,
+                options.spse_tolerance, options.max_num_spse_iterations,
+            )(rhs) * f_mask
         result = conjugate_gradients(
             matvec=s_apply,
             b=rhs,
+            x0=x0,
             preconditioner=prec,
             max_iterations=options.max_linear_solver_iterations,
             min_iterations=options.min_linear_solver_iterations,

@@ -508,9 +508,20 @@ def check_manifold_invariants(manifold: Manifold, x, delta, tol: float = 1e-8):
     Raises AssertionError naming the failed axiom. `delta` should be small
     enough to stay inside the injectivity radius (the reference uses
     norm <= 0.5).
+
+    Tolerances and the finite-difference step scale with the active
+    precision: under jax_enable_x64 the checks run in float64 with the
+    given `tol` (default 1e-8, the reference's kTolerance); without x64
+    the jnp.float64 cast silently degrades to float32, where h=1e-6
+    central differences are pure cancellation noise — so h and the
+    Jacobian tolerance are derived from the actual dtype's eps instead of
+    hardcoded f64 constants.
     """
     x = jnp.asarray(x, dtype=jnp.float64)
     delta = jnp.asarray(delta, dtype=jnp.float64)
+    eps = float(jnp.finfo(x.dtype).eps)
+    if x.dtype != jnp.float64:  # x64 disabled: f32 tolerances
+        tol = max(tol, 200.0 * eps)
     zero = jnp.zeros(manifold.tangent_size, dtype=x.dtype)
 
     def _close(a, b, name):
@@ -532,7 +543,9 @@ def check_manifold_invariants(manifold: Manifold, x, delta, tol: float = 1e-8):
     # autodiff at the singular point (delta = 0 / y = x) is undefined —
     # the values are exact there but jacfwd through the dead branch is
     # not (the reference's matchers likewise difference numerically).
-    h = 1e-6
+    # h ~ eps^(1/3) balances truncation vs roundoff for central
+    # differences (1e-5.3 in f64, 1e-2.4 in f32).
+    h = float(eps ** (1.0 / 3.0))
 
     def _fd_jac(f, z0, out_size):
         cols = []
@@ -541,7 +554,8 @@ def check_manifold_invariants(manifold: Manifold, x, delta, tol: float = 1e-8):
             cols.append((f(z0 + e) - f(z0 - e)) / (2.0 * h))
         return jnp.stack(cols, axis=1)
 
-    _close_tol = max(tol, 1e-7)
+    # FD Jacobian error floor: h^2 truncation + eps/h roundoff
+    _close_tol = max(tol, 1e-7, 10.0 * (h * h + eps / h))
     a = manifold.plus_jacobian(x)
     b = _fd_jac(lambda d: manifold.plus(x, d), zero, manifold.ambient_size)
     if float(jnp.max(jnp.abs(a - b))) > _close_tol:

@@ -20,14 +20,17 @@ class ParameterBlockOrdering:
     def __init__(self):
         self._group_of: Dict[int, int] = {}
 
-    def add_element_to_group(self, element: int, group: int) -> None:
-        """Add (or move) a parameter-block handle to a group.
+    def add_element_to_group(self, element: int, group: int) -> bool:
+        """Add (or move) a parameter-block handle to a group. Returns True
+        on success, False for a negative group id.
 
-        reference: OrderedGroups::AddElementToGroup (ordered_groups.h:53).
+        reference: OrderedGroups::AddElementToGroup (ordered_groups.h:53)
+        returns bool with exactly this contract.
         """
         if group < 0:
-            raise ValueError("group id must be >= 0")
+            return False
         self._group_of[int(element)] = int(group)
+        return True
 
     def remove(self, element: int) -> bool:
         """Remove a handle; True if it was present
@@ -38,12 +41,17 @@ class ParameterBlockOrdering:
         self._group_of.clear()
 
     def reverse(self) -> None:
-        """Reverse the order of the groups in place
-        (OrderedGroups::Reverse)."""
+        """Reverse the order of the groups in place.
+
+        reference: OrderedGroups::Reverse (ordered_groups.h) anchors the
+        new ids at the current largest id and counts upward, so the
+        absolute ids observable via group_id() match the reference.
+        """
         if not self._group_of:
             return
         ids = sorted(set(self._group_of.values()))
-        remap = {g: ids[len(ids) - 1 - i] for i, g in enumerate(ids)}
+        base = ids[-1]
+        remap = {g: base + i for i, g in enumerate(reversed(ids))}
         for e in list(self._group_of):
             self._group_of[e] = remap[self._group_of[e]]
 

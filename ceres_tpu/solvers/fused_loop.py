@@ -78,6 +78,13 @@ _N_STATS = 10
 CHUNK_ITERS = 20
 
 
+def chunk_iters(options) -> int:
+    """Chunk length: options.fused_execution_chunk_iters, else the module
+    default (kept as a module constant so tests can shrink it globally)."""
+    n = getattr(options, "fused_execution_chunk_iters", 0)
+    return n if n and n > 0 else CHUNK_ITERS
+
+
 def eligible(program, options, evaluator, raw_step_fn) -> bool:
     return (
         getattr(options, "fused_execution", True)
@@ -320,7 +327,7 @@ def make_chunk_fn(program, options, step_fn, sharded_evaluator=None):
             df=df,
             ninv=ninv,
             se=se,
-            stats=jnp.zeros((CHUNK_ITERS, _N_STATS), dtype),
+            stats=jnp.zeros((chunk_iters(options), _N_STATS), dtype),
             nsucc=jnp.asarray(0, jnp.int32),
             nfail=jnp.asarray(0, jnp.int32),
             njac=jnp.asarray(0, jnp.int32),
@@ -437,7 +444,7 @@ def run_fused(minimizer, state, summary):
             summary.message = "Maximum solver time reached."
             summary.final_cost = float(cost_dev) + summary.fixed_cost
             return np.asarray(state)
-        limit = min(CHUNK_ITERS, options.max_num_iterations - iters_done)
+        limit = min(chunk_iters(options), options.max_num_iterations - iters_done)
         t_chunk = time.time()
         out = chunk_fn(
             ev.arrays, state, cost_dev, res, jac_children, grad, scale,

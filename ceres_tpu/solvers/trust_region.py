@@ -477,6 +477,14 @@ class TrustRegionMinimizer:
         return ret
 
     def _log(self, it_sum):
+        # reference: the LoggingCallback is only installed when
+        # options.logging_type != SILENT (solver.cc Minimize +
+        # callbacks.cc:40-90); SILENT suppresses progress output regardless
+        # of minimizer_progress_to_stdout.
+        from ..types import LoggingType
+
+        if self.options.logging_type == LoggingType.SILENT:
+            return False
         if self.options.minimizer_progress_to_stdout:
             print(
                 f"iter {it_sum.iteration:3d}  cost {it_sum.cost:.6e}  "

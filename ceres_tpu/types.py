@@ -152,6 +152,12 @@ class SolverOptions:
     # counterpart of keeping the reference's outer loop off the
     # host<->device boundary (SURVEY.md §7 "host-side control loop latency").
     fused_execution: bool = True
+    # Number of LM iterations compiled into one fused device program
+    # (solvers/fused_loop.py). Smaller chunks bound single-dispatch runtime
+    # (long device programs can trip runtime watchdogs) and give more
+    # frequent host-side progress/timing rows; larger chunks amortize
+    # dispatch latency. 0 -> module default.
+    fused_execution_chunk_iters: int = 0
 
     # --- convergence tolerances (solver.h:430-470) ---
     function_tolerance: float = 1e-6

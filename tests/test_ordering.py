@@ -12,9 +12,9 @@ from ceres_tpu.types import LinearSolverType
 def test_ordered_groups_surface():
     o = ParameterBlockOrdering()
     assert o.num_elements == 0 and o.num_groups == 0
-    o.add_element_to_group(5, 1)
-    o.add_element_to_group(6, 1)
-    o.add_element_to_group(7, 0)
+    assert o.add_element_to_group(5, 1)
+    assert o.add_element_to_group(6, 1)
+    assert o.add_element_to_group(7, 0)
     assert o.num_elements == 3 and o.num_groups == 2
     assert o.group_id(5) == 1 and o.group_id(7) == 0
     assert o.group_id(99) == -1 and not o.is_member(99)
@@ -28,16 +28,21 @@ def test_ordered_groups_surface():
     assert sorted(o.eliminated_blocks()) == [5, 7]
 
     assert o.remove(5) and not o.remove(5)
+    # reference OrderedGroups::Reverse numbering: the largest existing id
+    # anchors, previous groups count upward (ordered_groups.h:125-142):
+    # {7: 0, 6: 1} -> {6: 1, 7: 2}
     o.reverse()
-    assert o.group_id(7) == 1 and o.group_id(6) == 0
+    assert o.group_id(7) == 2 and o.group_id(6) == 1
     assert o.eliminated_blocks() == [6]
 
     o.clear()
     assert o.num_elements == 0
     with pytest.raises(ValueError):
         o.min_non_zero_group()
-    with pytest.raises(ValueError):
-        o.add_element_to_group(1, -1)
+    # negative group ids are rejected with a False return, matching the
+    # reference's bool contract (ordered_groups.h AddElementToGroup)
+    assert not o.add_element_to_group(1, -1)
+    assert not o.is_member(1)
 
 
 def test_ordering_drives_schur_elimination():
