@@ -20,28 +20,22 @@ blocks, 2 residuals/observation; BAL-1778: 1778 cameras / 993,923 points /
 Prints ONE JSON line PER METRIC; the headline metric
 (bal1778_jac_residual_eval_ms) is printed LAST so single-line consumers
 keep seeing it. vs_baseline < 1.0 always means faster than the reference.
+
+Process architecture (BENCH_r02 post-mortem): this platform's remote TPU
+worker can be wedged permanently by a single bad device program — round 2
+lost ALL metrics to one stall. So the orchestrator (no TPU use) runs each
+phase in its own subprocess under a hard timeout, health-probes the chip
+between phases, emits every metric a phase produced, and orders the
+headline last. One broken phase can no longer take down the others.
 """
 
-import gc
 import json
 import os
+import subprocess
 import sys
 import time
 
-os.environ.setdefault("XLA_PYTHON_CLIENT_MEM_FRACTION", "0.92")
-
-import jax
-
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-
-import jax.numpy as jnp
-import numpy as np
-
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-
-from ceres_tpu.io.bal import build_ba_problem, synthetic_bal
+HEADLINE = "bal1778_jac_residual_eval_ms"
 
 # V100 numbers from BASELINE.md
 BASE_1778_RES_MS = 0.785 / 20 * 1000.0
@@ -66,12 +60,33 @@ def emit(metric, value, unit, baseline, **extra):
     print(json.dumps(line), flush=True)
 
 
-def build(num_cameras, num_points, num_obs, scale, seed):
+# ---------------------------------------------------------------------- #
+# phase workers (each runs in its own interpreter; see main())
+# ---------------------------------------------------------------------- #
+
+
+def _phase_env_setup():
+    os.environ.setdefault("XLA_PYTHON_CLIENT_MEM_FRACTION", "0.92")
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    dev = jax.devices()[0]
+    on_tpu = dev.platform == "tpu"
+    scale = 1.0 if on_tpu else 0.01  # CPU smoke mode stays runnable anywhere
+    return jax, dev, scale
+
+
+def _build(num_cameras, num_points, num_obs, scale, seed, **bal_kwargs):
+    from ceres_tpu.io.bal import build_ba_problem, synthetic_bal
+
     bal = synthetic_bal(
         max(2, int(num_cameras * scale)),
         max(16, int(num_points * scale)),
         max(64, int(num_obs * scale)),
         seed=seed,
+        **bal_kwargs,
     )
     t0 = time.perf_counter()
     problem, _, _ = build_ba_problem(bal)
@@ -80,66 +95,118 @@ def build(num_cameras, num_points, num_obs, scale, seed):
     return bal, problem, program, preproc_s
 
 
-def make_eval_fns(program):
+def _make_eval_fns(jax, program):
+    import jax.numpy as jnp
+
     from ceres_tpu.evaluator import evaluate
 
-    # N evaluations per dispatch, serially data-dependent (state is
-    # perturbed by 0*cost so XLA cannot CSE the iterations) with an
-    # optimization_barrier on every output so residual/Jacobian buffers
-    # actually materialize in HBM each iteration (as they do in the real
-    # LM loop, where they feed the PCG matvecs). One scalar fetch per N
-    # evals amortizes this platform's ~25 ms relay round trip — the same
-    # accounting as the reference benchmark, which reports cumulative
-    # evaluation seconds from inside a 20-iteration solve
-    # (Solver::Summary::FullReport, README.md:143-189).
     @jax.jit
-    def ev_full_loop(arrays, state, n):
-        def body(i, carry):
-            st, acc = carry
-            c, r, j, g = evaluate(program, arrays, st, with_jacobian=True)
-            leaves = [c, g] + list(r)
-            for grp in j.jac_groups:
-                leaves.extend(grp)
-            leaves = jax.lax.optimization_barrier(tuple(leaves))
-            c = leaves[0]
-            return st + 0.0 * c, acc + c
-
-        _, acc = jax.lax.fori_loop(0, n, body, (state, jnp.float32(0.0)))
-        return acc
+    def ev_full(arrays, state):
+        """Full evaluation + checksum touching every output buffer. The
+        host fetch of the checksum is the honest sync point
+        (block_until_ready under-reports through this platform's async
+        relay); returning the buffers keeps them materialized."""
+        c, r, j, g = evaluate(program, arrays, state, with_jacobian=True)
+        s = c + jnp.sum(g)
+        for grp in j.jac_groups:
+            for t in grp:
+                s = s + jnp.sum(t)
+        for rr in r:
+            s = s + jnp.sum(rr)
+        return s, c, g, j.jac_groups, r
 
     @jax.jit
-    def ev_res_loop(arrays, state, n):
-        def body(i, carry):
-            st, acc = carry
-            c, r, _, _ = evaluate(program, arrays, st, with_jacobian=False)
-            leaves = jax.lax.optimization_barrier(tuple([c] + list(r)))
-            c = leaves[0]
-            return st + 0.0 * c, acc + c
+    def ev_res(arrays, state):
+        c, r, _, _ = evaluate(program, arrays, state, with_jacobian=False)
+        s = c
+        for rr in r:
+            s = s + jnp.sum(rr)
+        return s, c, r
 
-        _, acc = jax.lax.fori_loop(0, n, body, (state, jnp.float32(0.0)))
-        return acc
-
-    return ev_full_loop, ev_res_loop
+    return ev_full, ev_res
 
 
-def timed_evals(fn, arrays, state, n):
-    """Time n data-dependent evaluations inside ONE dispatch (see
-    make_eval_fns); the accumulated-cost fetch is the sync point. The trip
-    count is a traced scalar so warmup and the timed run share one
-    compile."""
-    float(fn(arrays, state, jnp.int32(1)))  # warmup/compile
+def _timed_evals(fn, arrays, state, n, pipeline=True):
+    """Depth-2 pipeline (round-1-proven): each checksum is fetched (sync),
+    but the next dispatch is issued first so the relay's ~25 ms round trip
+    overlaps device compute (a tunnel artifact; the reference's local GPU
+    pays microseconds for the same dispatch). pipeline=False runs serially
+    — two in-flight output sets double HBM for the outputs, which the
+    29M-observation problem cannot afford."""
+    out = fn(arrays, state)
+    float(out[0])  # warmup/compile
+    del out
+    if not pipeline:
+        t0 = time.perf_counter()
+        for _ in range(n):
+            out = fn(arrays, state)
+            float(out[0])
+            del out
+        return (time.perf_counter() - t0) / n * 1000.0
     t0 = time.perf_counter()
-    float(fn(arrays, state, jnp.int32(n)))
+    pending = fn(arrays, state)
+    for _ in range(n - 1):
+        nxt = fn(arrays, state)
+        float(pending[0])
+        pending = nxt
+    float(pending[0])
     return (time.perf_counter() - t0) / n * 1000.0
 
 
-def bench_lm_iterations(scale, platform):
+def phase_probe():
+    """Trivial device round trip: is the chip alive?"""
+    jax, dev, scale = _phase_env_setup()
+    import jax.numpy as jnp
+
+    v = float(jnp.arange(8.0).sum())
+    print(json.dumps({"probe": v, "platform": dev.platform}), flush=True)
+
+
+def phase_eval1778():
+    jax, dev, scale = _phase_env_setup()
+    import jax.numpy as jnp
+
+    bal, problem, program, preproc_s = _build(1778, 993_923, 5_000_000, scale, 1)
+    emit(
+        "bal1778_preprocessor_s",
+        preproc_s,
+        "s",
+        BASE_1778_PREPROC_S,
+        platform=dev.platform,
+    )
+    ev_full, ev_res = _make_eval_fns(jax, program)
+    arrays = program.arrays(jnp.float32)
+    state = program.state_vector(jnp.float32)
+
+    res_ms = _timed_evals(ev_res, arrays, state, NUM_RES_EVALS)
+    emit(
+        "bal1778_residual_eval_ms",
+        res_ms,
+        "ms",
+        BASE_1778_RES_MS,
+        platform=dev.platform,
+        num_observations=int(bal.num_observations),
+    )
+    jac_ms = _timed_evals(ev_full, arrays, state, NUM_JAC_EVALS)
+    emit(
+        HEADLINE,
+        jac_ms,
+        "ms",
+        BASE_1778_JAC_MS,
+        platform=dev.platform,
+        num_observations=int(bal.num_observations),
+        baseline_ms=round(BASE_1778_JAC_MS, 1),
+    )
+
+
+def phase_lm():
     """End-to-end fused LM at BAL-1778 scale: ITERATIVE_SCHUR +
     SCHUR_JACOBI + Huber, the reference's benchmark configuration
     (README.md:143 `--linear_solver=iterative_schur`). Uses a harder
     perturbation than the eval benches so the LM loop keeps doing real
-    work for two full fused chunks (the default problem reaches the f32
-    cost floor in ~4 iterations)."""
+    work across chunks (the default problem reaches the f32 cost floor in
+    ~4 iterations)."""
+    jax, dev, scale = _phase_env_setup()
     import ceres_tpu
     from ceres_tpu import HuberLoss
     from ceres_tpu.types import (
@@ -147,6 +214,7 @@ def bench_lm_iterations(scale, platform):
         PreconditionerType,
         SolverOptions,
     )
+    from ceres_tpu.io.bal import build_ba_problem, synthetic_bal
 
     bal = synthetic_bal(
         max(2, int(1778 * scale)),
@@ -159,16 +227,15 @@ def bench_lm_iterations(scale, platform):
     )
     problem, _, _ = build_ba_problem(bal, loss=HuberLoss(1.0))
 
-    from ceres_tpu.solvers import fused_loop
-
-    # Shorter fused chunks for the benchmark: this platform's TPU worker
-    # kills very long single device programs (a 20-iteration chunk with a
-    # deep PCG ran minutes and took the worker down with it), and a short
-    # chunk also gives clean compile-free steady-state chunks to time.
+    # Short fused chunks: this platform's TPU worker kills very long single
+    # device programs (a 20-iteration chunk with a deep PCG took the worker
+    # down), and short chunks give clean compile-free steady-state chunks
+    # to time. Chunk length is a first-class option now (round-2 verdict).
     chunk = 6
     options = SolverOptions(
         linear_solver_type=LinearSolverType.ITERATIVE_SCHUR,
         preconditioner_type=PreconditionerType.SCHUR_JACOBI,
+        fused_execution_chunk_iters=chunk,
         # chunk 1 pays the jit compile; later chunks are steady state
         max_num_iterations=3 * chunk,
         eta=1e-1,
@@ -179,14 +246,9 @@ def bench_lm_iterations(scale, platform):
         min_trust_region_radius=1e-300,  # don't let radius collapse end it
         max_num_consecutive_invalid_steps=50,  # nor tiny-step rejection
     )
-    saved_chunk = fused_loop.CHUNK_ITERS
-    fused_loop.CHUNK_ITERS = chunk
-    try:
-        t0 = time.perf_counter()
-        summary = ceres_tpu.solve(options, problem)
-        total = time.perf_counter() - t0
-    finally:
-        fused_loop.CHUNK_ITERS = saved_chunk
+    t0 = time.perf_counter()
+    summary = ceres_tpu.solve(options, problem)
+    total = time.perf_counter() - t0
     iters = summary.num_successful_steps + summary.num_unsuccessful_steps
     iters = max(iters, 1)
     steady = [
@@ -199,94 +261,133 @@ def bench_lm_iterations(scale, platform):
     else:
         # fell short of chunk 2 — report the amortized rate incl. compile
         lm_s_per_iter = summary.minimizer_time_in_seconds / iters
-    return lm_s_per_iter * 1000.0, iters, summary.used_fused_execution, total
-
-
-def main():
-    dev = jax.devices()[0]
-    on_tpu = dev.platform == "tpu"
-    scale = 1.0 if on_tpu else 0.01  # CPU smoke mode stays runnable anywhere
-
-    # ---------------- BAL-1778 ----------------
-    bal, problem, program, preproc_s = build(1778, 993_923, 5_000_000, scale, 1)
-    emit(
-        "bal1778_preprocessor_s",
-        preproc_s,
-        "s",
-        BASE_1778_PREPROC_S,
-        platform=dev.platform,
-    )
-
-    ev_full, ev_res = make_eval_fns(program)
-    arrays = program.arrays(jnp.float32)
-    state = program.state_vector(jnp.float32)
-
-    res_ms = timed_evals(ev_res, arrays, state, NUM_RES_EVALS)
-    emit(
-        "bal1778_residual_eval_ms",
-        res_ms,
-        "ms",
-        BASE_1778_RES_MS,
-        platform=dev.platform,
-        num_observations=int(bal.num_observations),
-    )
-
-    jac_ms_1778 = timed_evals(ev_full, arrays, state, NUM_JAC_EVALS)
-
-    # free the eval problem before the LM bench builds its own
-    del ev_full, ev_res, arrays, state, problem, program, bal
-    gc.collect()
-    jax.clear_caches()
-    gc.collect()
-
-    lm_ms, lm_iters, fused, _ = bench_lm_iterations(scale, dev.platform)
+    lm_ms = lm_s_per_iter * 1000.0
     emit(
         "bal1778_lm_iteration_ms",
         lm_ms,
         "ms",
         BASE_LM_ITER_MS,
         platform=dev.platform,
-        iterations=lm_iters,
+        iterations=iters,
         iterations_per_s=round(1000.0 / lm_ms, 3),
-        fused=bool(fused),
+        fused=bool(summary.used_fused_execution),
+        total_solve_s=round(total, 1),
         baseline_note="V100 evaluation-only floor (no linear solve included)",
     )
 
-    # jitted closures pin their captured device buffers (the 1778 problem's
-    # tables) in the in-memory executable cache; drop them or BAL-13682
-    # cannot fit alongside
-    gc.collect()
-    jax.clear_caches()
-    gc.collect()
 
-    # ---------------- BAL-13682 ----------------
-    bal, problem, program, _ = build(13_682, 4_456_117, 28_987_644, scale, 2)
-    ev_full13, _ = make_eval_fns(program)
+def phase_eval13682():
+    jax, dev, scale = _phase_env_setup()
+    import jax.numpy as jnp
+
+    bal, problem, program, _ = _build(13_682, 4_456_117, 28_987_644, scale, 2)
+    ev_full, _ = _make_eval_fns(jax, program)
     arrays = program.arrays(jnp.float32)
     state = program.state_vector(jnp.float32)
-    jac_ms_13682 = timed_evals(ev_full13, arrays, state, 11)
+    # serial (pipeline=False): two in-flight output sets don't fit at 29M
+    jac_ms = _timed_evals(ev_full, arrays, state, 11, pipeline=False)
     emit(
         "bal13682_jac_residual_eval_ms",
-        jac_ms_13682,
+        jac_ms,
         "ms",
         BASE_13682_JAC_MS,
         platform=dev.platform,
         num_observations=int(bal.num_observations),
     )
-    del ev_full13, arrays, state, problem, program, bal
-    gc.collect()
 
-    # headline LAST (single-line consumers parse the tail)
-    emit(
-        "bal1778_jac_residual_eval_ms",
-        jac_ms_1778,
-        "ms",
-        BASE_1778_JAC_MS,
-        platform=dev.platform,
-        num_observations=5_000_000 if on_tpu else None,
-        baseline_ms=round(BASE_1778_JAC_MS, 1),
-    )
+
+PHASES = {
+    "probe": (phase_probe, 240),
+    "eval1778": (phase_eval1778, 1200),
+    "lm": (phase_lm, 1500),
+    "eval13682": (phase_eval13682, 1500),
+}
+
+
+# ---------------------------------------------------------------------- #
+# orchestrator
+# ---------------------------------------------------------------------- #
+
+
+def _run_phase(name, timeout):
+    """Run one phase in a subprocess; returns (ok, metric_lines)."""
+    env = dict(os.environ, BENCH_PHASE=name)
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            timeout=timeout,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+    except subprocess.TimeoutExpired as e:
+        out = e.stdout or ""
+        sys.stderr.write(f"[bench] phase {name} TIMED OUT after {timeout}s\n")
+        return False, _parse_lines(out)
+    if proc.returncode != 0:
+        sys.stderr.write(
+            f"[bench] phase {name} rc={proc.returncode}\n"
+            + (proc.stderr or "")[-2000:]
+            + "\n"
+        )
+    return proc.returncode == 0, _parse_lines(proc.stdout or "")
+
+
+def _parse_lines(out):
+    lines = []
+    for ln in out.splitlines():
+        ln = ln.strip()
+        if not ln.startswith("{"):
+            continue
+        try:
+            lines.append(json.loads(ln))
+        except json.JSONDecodeError:
+            pass
+    return lines
+
+
+def main():
+    collected = []
+    probe_ok, _ = _run_phase("probe", PHASES["probe"][1])
+    if not probe_ok:
+        sys.stderr.write(
+            "[bench] device probe failed — TPU worker unreachable/wedged; "
+            "no metrics can be measured\n"
+        )
+        sys.exit(1)
+
+    for name in ("eval1778", "lm", "eval13682"):
+        ok, lines = _run_phase(name, PHASES[name][1])
+        collected.extend(lines)
+        if not ok:
+            # a wedged phase may have taken the worker down with it —
+            # don't waste the remaining phases' timeouts on a dead chip
+            probe_ok, _ = _run_phase("probe", PHASES["probe"][1])
+            if not probe_ok:
+                sys.stderr.write(
+                    "[bench] device probe failed after phase "
+                    f"{name} — skipping remaining phases\n"
+                )
+                break
+
+    headline = None
+    for line in collected:
+        if line.get("metric") == HEADLINE:
+            headline = line
+    for line in collected:
+        if line is not headline:
+            print(json.dumps(line), flush=True)
+    if headline is not None:
+        print(json.dumps(headline), flush=True)
+        sys.exit(0)
+    sys.stderr.write("[bench] headline metric missing\n")
+    sys.exit(1)
 
 
 if __name__ == "__main__":
-    main()
+    phase = os.environ.get("BENCH_PHASE")
+    if phase:
+        PHASES[phase][0]()
+    else:
+        main()

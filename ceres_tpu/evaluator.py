@@ -23,6 +23,7 @@ only ever consumed by further psum-reduced products — see jacobian.py).
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import jax
@@ -119,9 +120,16 @@ def _group_eval(
 
     n_total = garr["a_rows"][0].shape[0] if garr["a_rows"] else meta.n
 
-    out = _group_eval_pallas(
-        meta, garr, state_2d, apply_loss, axis_name, with_jacobian
-    )
+    # Residual-only evaluation defaults to the XLA path: the residual-only
+    # kernel variant shipped in round 2 without on-TPU validation and the
+    # first full-scale run wedged the TPU worker (BENCH_r02 post-mortem).
+    # CERES_TPU_RES_KERNEL=1 opts back in for on-chip A/B validation.
+    use_pallas = with_jacobian or os.environ.get("CERES_TPU_RES_KERNEL", "")
+    out = None
+    if use_pallas:
+        out = _group_eval_pallas(
+            meta, garr, state_2d, apply_loss, axis_name, with_jacobian
+        )
     if out is not None:
         return out
 
@@ -179,10 +187,23 @@ def _group_eval_pallas(meta, garr, state_2d, apply_loss, axis_name,
         ):
             params_T.append(gather_T(plan, state_2d[pm.a_cls], rows, axis_name))
         else:
-            # transposed (lane-axis) gather: [s, n] directly — the row-major
-            # [n, s] gather output tile-pads 14.2x at 29M observations
-            # (s=9 -> 128 lanes) and is 2.6x slower on v5e
-            params_T.append(state_2d[pm.a_cls].T[:, rows])
+            # Row-major take + transpose, the round-1 TPU-proven gather.
+            # The [chunk, s] gather intermediate is tile-padded (s=9 ->
+            # 128 lanes, 14.2x), so it is lane-chunked to bound the
+            # padding to ~3 GB per slice at BAL-13682 scale. (Round 2
+            # briefly used an unchunked lane-axis gather
+            # `state.T[:, rows]` here; it was never validated on TPU and
+            # is implicated in the BENCH_r02 worker wedge.)
+            from .jacobian import lane_chunks
+
+            tbl = state_2d[pm.a_cls]
+            parts = [
+                jnp.take(tbl, rows[s : s + sz], axis=0).T
+                for (s, sz) in lane_chunks(rows.shape[0])
+            ]
+            params_T.append(
+                parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
+            )
 
     data_T = []
     for d in garr["data"]:
