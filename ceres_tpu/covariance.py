@@ -30,6 +30,10 @@ class CovarianceOptions:
     min_reciprocal_condition_number: float = 1e-14
     null_space_rank: int = 0  # -1: drop all small eigenvalues
     apply_loss_function: bool = True
+    # ITERATIVE_PCG controls: per-column relative residual tolerance and
+    # PCG iteration cap (0 -> num_effective_parameters).
+    iterative_tolerance: float = 1e-10
+    iterative_max_iterations: int = 0
 
 
 class _ColumnSubsetMatrix:
@@ -76,6 +80,13 @@ class Covariance:
             ok = self._compute_sparse(jac, program, covariance_blocks)
             if not ok:
                 return False
+        elif (
+            self.options.algorithm_type
+            == CovarianceAlgorithmType.ITERATIVE_PCG
+        ):
+            ok = self._compute_iterative(jac, program, covariance_blocks)
+            if not ok:
+                return False
         else:
             dense_j = np.asarray(jac.to_dense())
             jtj = dense_j.T @ dense_j
@@ -115,15 +126,7 @@ class Covariance:
         )
         jtj = (j.T @ j).tocsc()
 
-        # union of requested tangent columns
-        wanted = set()
-        for bi, bj in covariance_blocks:
-            for b in (bi, bj):
-                off = int(program.t_offsets[b])
-                if off < 0:
-                    raise ValueError(f"parameter block {b} is constant or removed")
-                wanted.update(range(off, off + int(program.tangent_sizes[b])))
-        cols_wanted = np.array(sorted(wanted), dtype=np.int64)
+        cols_wanted = self._wanted_cols(program, covariance_blocks)
 
         try:
             lu = spla.splu(jtj)
@@ -144,6 +147,65 @@ class Covariance:
         rhs[cols_wanted, np.arange(len(cols_wanted))] = 1.0
         x = lu.solve(rhs)
         self._cov = _ColumnSubsetMatrix(n, cols_wanted, x)
+        return True
+
+    def _wanted_cols(self, program, covariance_blocks) -> np.ndarray:
+        """Union of tangent columns the requested block pairs touch."""
+        wanted = set()
+        for bi, bj in covariance_blocks:
+            for b in (bi, bj):
+                off = int(program.t_offsets[b])
+                if off < 0:
+                    raise ValueError(
+                        f"parameter block {b} is constant or removed"
+                    )
+                wanted.update(range(off, off + int(program.tangent_sizes[b])))
+        return np.array(sorted(wanted), dtype=np.int64)
+
+    def _compute_iterative(self, jac, program, covariance_blocks) -> bool:
+        """ITERATIVE_PCG: device-resident column-subset solves.
+
+        Covariance at BA scale (the reference's threaded SUITE_SPARSE_QR
+        territory, covariance_impl.cc:700-889): for each requested tangent
+        column e_k, solve (J^T J) x = e_k by PCG against the matrix-free
+        jtj_multiply operator with the block-Jacobi preconditioner — J is
+        never materialized and nothing leaves the device. One jitted solve
+        is reused for every column. Rank deficiency surfaces as
+        non-convergence -> False (the reference returns false from its
+        factorization in the same situation).
+        """
+        import jax
+
+        from .linalg.cg import conjugate_gradients
+        from .linalg.preconditioners import BlockDiagSolver
+
+        cols_wanted = self._wanted_cols(program, covariance_blocks)
+        n = program.num_effective_parameters
+        dtype = jac.jac_groups[0][0].dtype if jac.jac_groups else jnp.float64
+        dsq = jnp.zeros((n,), dtype=dtype)
+        prec = BlockDiagSolver(program, jac.block_diag_jtj())
+        max_iters = self.options.iterative_max_iterations or n
+        tol = self.options.iterative_tolerance
+
+        @jax.jit
+        def solve_col(e):
+            r = conjugate_gradients(
+                matvec=lambda v: jac.jtj_multiply(v, dsq),
+                b=e,
+                preconditioner=prec,
+                max_iterations=max_iters,
+                tolerance=tol,
+            )
+            return r.x, r.converged
+
+        xs = np.zeros((n, len(cols_wanted)))
+        for k, c in enumerate(cols_wanted):
+            e = jnp.zeros((n,), dtype=dtype).at[int(c)].set(1.0)
+            x, converged = solve_col(e)
+            if not bool(converged):
+                return False  # J^T J (numerically) rank deficient
+            xs[:, k] = np.asarray(x)
+        self._cov = _ColumnSubsetMatrix(n, cols_wanted, xs)
         return True
 
     def _tangent_slice(self, block: int):

@@ -760,9 +760,14 @@ class Program:
     # Schur elimination partition
     # ------------------------------------------------------------------ #
 
-    def compute_schur_partition(self):
+    def compute_schur_partition(self, user_e_override=None, cache=True):
         """Classify free parameter blocks into e-blocks (eliminated, e.g. BA
         points) and f-blocks (kept, e.g. cameras).
+
+        user_e_override: optional explicit eliminated-block handle set that
+        bypasses both the cache and `_user_e_blocks` (used by the inner
+        iteration minimizer's own ordering, reference
+        inner_iteration_ordering / coordinate_descent_minimizer.cc:88-150).
 
         TPU-native replacement of the reference's greedy maximal independent
         set ordering (parameter_block_ordering.cc:used via
@@ -778,7 +783,11 @@ class Program:
         e/f_positions are lists over groups of position-index tuples.
         Caches the result.
         """
-        if getattr(self, "_schur_partition", None) is not None:
+        if (
+            user_e_override is None
+            and cache
+            and getattr(self, "_schur_partition", None) is not None
+        ):
             return self._schur_partition
 
         nb = len(self._blocks)
@@ -800,7 +809,11 @@ class Program:
             for pos in range(ids_mat.shape[1]):
                 np.add.at(rows_count, ids_mat[:, pos], 1)
 
-        user_e = getattr(self, "_user_e_blocks", None)
+        user_e = (
+            user_e_override
+            if user_e_override is not None
+            else getattr(self, "_user_e_blocks", None)
+        )
         if user_e is not None:
             # user-specified elimination group (reference:
             # Solver::Options::linear_solver_ordering group 0,
@@ -855,8 +868,10 @@ class Program:
             e_positions.append(tuple(eps))
             f_positions.append(tuple(fps))
 
-        self._schur_partition = (e_mask, e_positions, f_positions)
-        return self._schur_partition
+        result = (e_mask, e_positions, f_positions)
+        if user_e_override is None and cache:
+            self._schur_partition = result
+        return result
 
     def schur_tangent_masks(self):
         """(e_mask, f_mask) over the tangent vector [num_eff]."""

@@ -90,6 +90,7 @@ def eligible(program, options, evaluator, raw_step_fn) -> bool:
         getattr(options, "fused_execution", True)
         and getattr(raw_step_fn, "jittable", True)
         and not getattr(program, "has_bounds", False)
+        and not options.trust_region_use_line_search
         and not options.use_inner_iterations
         and not options.callbacks
         and not options.update_state_every_iteration
@@ -372,6 +373,9 @@ def run_fused(minimizer, state, summary):
     program = minimizer.program
     ev = minimizer.evaluator
     summary.used_fused_execution = True
+    from .trust_region import _exec
+
+    exec_sum = _exec(summary)
     start = time.time()
 
     t_jac = time.time()
@@ -379,6 +383,7 @@ def run_fused(minimizer, state, summary):
     cost = float(cost0)
     summary.num_jacobian_evaluations += 1
     summary.jacobian_evaluation_time_in_seconds += time.time() - t_jac
+    exec_sum.record("Evaluator::Jacobian", time.time() - t_jac)
     if not np.isfinite(cost):
         from ..evaluator import diagnose_non_finite
 
@@ -467,6 +472,17 @@ def run_fused(minimizer, state, summary):
         summary.num_residual_evaluations += n_it
         summary.num_linear_solves += n_it
         summary.linear_solver_time_in_seconds += chunk_time
+        # Per-call stats (execution_summary.h role): counts are exact; the
+        # chunk is ONE device program, so its wall time is recorded under
+        # FusedLoop::Chunk (exact, cumulative) — run with
+        # fused_execution_chunk_iters=1 (or fused_execution=False) for
+        # fully separated per-call timings.
+        exec_sum.record("FusedLoop::Chunk", chunk_time)
+        exec_sum.record("Evaluator::Residual [fused]", 0.0, calls=n_it)
+        exec_sum.record(
+            "Evaluator::Jacobian [fused]", 0.0, calls=int(out["njac"])
+        )
+        exec_sum.record("LinearSolver::Solve [fused]", 0.0, calls=n_it)
 
         for k in range(n_it):
             row = stats[k]

@@ -68,7 +68,22 @@ def make_inner_iteration_fn(program, options, axis_name=None):
 
     One call performs a single batched GN sweep over all e-blocks.
     """
-    _, e_positions, _ = program.compute_schur_partition()
+    user_ordering = getattr(options, "inner_iteration_ordering", None)
+    if user_ordering is not None:
+        # reference: Solver::Options::inner_iteration_ordering — group 0
+        # picks the blocks the inner minimizer optimizes
+        # (coordinate_descent_minimizer.cc:88-150). Must be independent;
+        # validated by compute_schur_partition.
+        from ..ordering import eliminated_handles
+
+        _, e_positions, _ = program.compute_schur_partition(
+            user_e_override=frozenset(
+                int(h) for h in eliminated_handles(user_ordering)
+            ),
+            cache=False,
+        )
+    else:
+        _, e_positions, _ = program.compute_schur_partition()
     e_classes = sorted(
         {
             program.class_of_tsize[

@@ -19,7 +19,10 @@ from ..types import (
 
 
 def solve(options, problem) -> Summary:
+    from ..utils.execution_summary import ExecutionSummary
+
     summary = Summary()
+    summary.execution_summary = ExecutionSummary()
     total_start = time.time()
 
     ok, msg = options.is_valid()

@@ -30,6 +30,17 @@ def _finite(x) -> bool:
     return bool(np.isfinite(x))
 
 
+class _NullExec:
+    """No-op ExecutionSummary stand-in (minimize() called without solve())."""
+
+    def record(self, name, seconds, calls=1):
+        pass
+
+
+def _exec(summary):
+    return getattr(summary, "execution_summary", None) or _NullExec()
+
+
 class TrustRegionMinimizer:
     def __init__(self, program, options, evaluator):
         self.program = program
@@ -157,13 +168,16 @@ class TrustRegionMinimizer:
         decrease_factor = 2.0
         num_consecutive_invalid = 0
         iteration_of_last_jacobian = -1
+        inner_iterations_enabled = self.inner is not None
         self._prepare_key = None
 
+        exec_sum = _exec(summary)
         t_jac = time.time()
         cost, res_groups, jac, grad = ev.evaluate_groups(state)
         cost = float(cost)
         summary.num_jacobian_evaluations += 1
         summary.jacobian_evaluation_time_in_seconds += time.time() - t_jac
+        exec_sum.record("Evaluator::Jacobian", time.time() - t_jac)
         if not _finite(cost):
             from ..evaluator import diagnose_non_finite
 
@@ -285,6 +299,7 @@ class TrustRegionMinimizer:
             step_solver_time = time.time() - t_solve
             summary.num_linear_solves += 1
             summary.linear_solver_time_in_seconds += step_solver_time
+            exec_sum.record("LinearSolver::Solve", step_solver_time)
             valid = bool(valid)
             mcc = float(mcc)
 
@@ -321,25 +336,54 @@ class TrustRegionMinimizer:
 
             if (
                 getattr(self.program, "has_bounds", False)
-                and options.max_num_line_search_step_size_iterations > 0
-            ):
+                or options.trust_region_use_line_search
+            ) and options.max_num_line_search_step_size_iterations > 0:
+                # With bounds: projected Armijo search (enforces the box +
+                # improves the step; upstream runs DoLineSearch only when
+                # is_constrained, trust_region_minimizer.cc:101-106).
+                # trust_region_use_line_search extends the same Armijo
+                # polish to unconstrained problems (where Plus is a plain
+                # +), accelerating progress through curved valleys.
+                t_ls = time.time()
                 delta, ls_evals = self._projected_line_search(
                     ev, state, delta, cost, grad
                 )
                 summary.num_residual_evaluations += ls_evals
+                summary.num_line_search_steps += ls_evals
+                if ls_evals:
+                    exec_sum.record(
+                        "LineSearch::CostEvaluation",
+                        time.time() - t_ls,
+                        calls=ls_evals,
+                    )
 
             candidate = ev.plus(state, delta)
             t_res = time.time()
             new_cost = float(ev.cost(candidate))
             summary.num_residual_evaluations += 1
             summary.residual_evaluation_time_in_seconds += time.time() - t_res
+            exec_sum.record("Evaluator::Residual", time.time() - t_res)
 
             # inner iterations refine the candidate point
             # (reference: DoInnerIterationsIfNeeded,
             # trust_region_minimizer.cc:504-583)
-            if self.inner is not None and _finite(new_cost):
-                candidate, new_cost = self.inner.refine(candidate, new_cost)
+            if inner_iterations_enabled and _finite(new_cost):
+                candidate, refined_cost = self.inner.refine(candidate, new_cost)
                 summary.num_inner_iteration_steps += 1
+                # credit the inner-iteration decrease to the model too, so
+                # the step-quality ratio doesn't over-reward the TR step
+                # (trust_region_minimizer.cc:558-560)
+                mcc += new_cost - refined_cost
+                # disable inner iterations for later TR iterations once
+                # their relative progress drops below the tolerance
+                # (trust_region_minimizer.cc:564-570)
+                rel_progress = (
+                    1.0 - refined_cost / new_cost if new_cost > 0 else 0.0
+                )
+                inner_iterations_enabled = (
+                    rel_progress > options.inner_iteration_tolerance
+                )
+                new_cost = refined_cost
 
             # with bounds, the projected candidate can move less than |delta|;
             # measure the realized ambient step like the reference
@@ -411,6 +455,7 @@ class TrustRegionMinimizer:
                 iteration_of_last_jacobian = iteration
                 summary.num_jacobian_evaluations += 1
                 summary.jacobian_evaluation_time_in_seconds += time.time() - t_jac
+                exec_sum.record("Evaluator::Jacobian", time.time() - t_jac)
                 if not _finite(float(cost_j)):
                     summary.termination_type = TerminationType.FAILURE
                     summary.message = "Residual/Jacobian evaluation failed at accepted point."

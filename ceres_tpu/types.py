@@ -106,9 +106,14 @@ class LoggingType(enum.Enum):
 
 
 class CovarianceAlgorithmType(enum.Enum):
-    # reference: include/ceres/covariance.h
+    # reference: include/ceres/covariance.h (DENSE_SVD, SPARSE_QR).
+    # ITERATIVE_PCG is the TPU-scale extension: device-resident batched
+    # PCG column solves against the matrix-free J^T J operator — the path
+    # that stays usable at BA scale where densifying J^T J (DENSE_SVD) or
+    # host-factoring it (SPARSE_QR) is not (covariance.py).
     DENSE_SVD = "DENSE_SVD"
     SPARSE_QR = "SPARSE_QR"
+    ITERATIVE_PCG = "ITERATIVE_PCG"
 
 
 class NumericDiffMethodType(enum.Enum):
@@ -213,10 +218,25 @@ class SolverOptions:
     max_num_line_search_direction_restarts: int = 5
     line_search_sufficient_curvature_decrease: float = 0.9
     max_line_search_step_expansion: float = 10.0
+    # Run the Armijo line-search polish on every valid trust-region step
+    # even without bounds (upstream runs DoLineSearch only when
+    # is_constrained, trust_region_minimizer.cc:101-106; bounded problems
+    # here always use the projected search). Helps curved-valley problems
+    # (e.g. Rosenbrock) at the price of >= 1 extra residual evaluation per
+    # iteration; forces the host loop.
+    trust_region_use_line_search: bool = False
 
     # --- inner iterations ---
     use_inner_iterations: bool = False
+    # Disable inner iterations for later TR iterations once a pass's
+    # relative cost progress drops below this (reference solver.h
+    # inner_iteration_tolerance, trust_region_minimizer.cc:564-570).
     inner_iteration_tolerance: float = 1e-3
+    # Blocks the inner minimizer refines: group 0 of a
+    # ParameterBlockOrdering (or a flat handle sequence). None = the
+    # automatic independent-set partition (reference solver.h
+    # inner_iteration_ordering, coordinate_descent_minimizer.cc:88-150).
+    inner_iteration_ordering: Any = None
 
     # --- logging / callbacks ---
     logging_type: LoggingType = LoggingType.PER_MINIMIZER_ITERATION
@@ -353,6 +373,9 @@ class Summary:
     num_residual_evaluations: int = 0
     num_jacobian_evaluations: int = 0
     num_linear_solves: int = 0
+    # Per-call cumulative statistics (reference: ExecutionSummary,
+    # execution_summary.h:89, surfaced via Evaluator::Statistics()).
+    execution_summary: Any = None
 
     def brief_report(self) -> str:
         return (
@@ -397,4 +420,9 @@ class Summary:
             f"  Linear solver     {self.linear_solver_time_in_seconds:>12.6f} s",
             f"Total time          {self.total_time_in_seconds:>12.6f} s",
         ]
+        if self.execution_summary is not None:
+            per_call = self.execution_summary.report_lines()
+            if per_call:
+                lines.append("")
+                lines.extend(per_call)
         return "\n".join(lines)
