@@ -27,7 +27,7 @@ from .loss import LossFunction
 from .manifolds import EuclideanManifold, Manifold
 
 
-@dataclasses.dataclass
+@dataclasses.dataclass(slots=True)
 class _ParameterBlock:
     index: int
     values: np.ndarray  # current state (ambient), float64 host copy
@@ -44,6 +44,196 @@ class _ParameterBlock:
     @property
     def tangent_size(self) -> int:
         return self.manifold.tangent_size if self.manifold is not None else self.size
+
+
+def _is_euclidean(m) -> bool:
+    return m is None or isinstance(m, EuclideanManifold)
+
+
+class _BlockStore:
+    """Lazy columnar parameter-block storage.
+
+    Blocks added in bulk (`add_parameter_blocks`) stay as ONE [n, size]
+    matrix plus shared metadata; a `_ParameterBlock` object materializes
+    only when a block is touched individually (constancy, bounds, manifold
+    change, removal, value replacement). The vectorized column/state APIs
+    below read the matrices directly and patch the (typically few)
+    materialized rows — preprocessing cost is O(vector ops), not
+    O(#blocks) Python-object work, which is what lets a million-point BA
+    problem build faster than the reference's preprocessor (BASELINE.md).
+
+    Supports the list protocol (`len`, indexing, iteration) so the rest of
+    the code reads like a plain block list; iteration materializes and is
+    therefore reserved for small/cold paths.
+    """
+
+    def __init__(self):
+        self._ranges: list = []  # {start, n, size, manifold, values [n,s]}
+        self._range_starts: list = []
+        self._mat: dict = {}  # index -> _ParameterBlock (touched blocks)
+        self._len = 0
+
+    # ---- construction ------------------------------------------------ #
+
+    def append_range(self, values: np.ndarray, manifold) -> int:
+        start = self._len
+        self._ranges.append(
+            {
+                "start": start,
+                "n": int(values.shape[0]),
+                "size": int(values.shape[1]),
+                "manifold": manifold,
+                "values": values,
+            }
+        )
+        self._range_starts.append(start)
+        self._len += int(values.shape[0])
+        return start
+
+    # ---- list protocol ----------------------------------------------- #
+
+    def __len__(self) -> int:
+        return self._len
+
+    def __getitem__(self, i) -> _ParameterBlock:
+        i = int(i)
+        b = self._mat.get(i)
+        if b is not None:
+            return b
+        if i < 0 or i >= self._len:
+            raise IndexError(i)
+        import bisect
+
+        r = self._ranges[bisect.bisect_right(self._range_starts, i) - 1]
+        b = _ParameterBlock(
+            index=i, values=r["values"][i - r["start"]], manifold=r["manifold"]
+        )
+        self._mat[i] = b
+        return b
+
+    def __iter__(self):
+        for i in range(self._len):
+            yield self[i]
+
+    # ---- vectorized fast paths --------------------------------------- #
+
+    def columns(self):
+        """(removed, constant, sizes, tsizes, manifold_ids, manifolds) —
+        the per-block metadata columns, without materializing blocks."""
+        nb = self._len
+        removed = np.zeros(nb, dtype=bool)
+        constant = np.zeros(nb, dtype=bool)
+        sizes = np.zeros(nb, dtype=np.int64)
+        tsizes = np.zeros(nb, dtype=np.int64)
+        manifold_ids = np.full(nb, -1, dtype=np.int64)
+        manifolds: list = []
+        mindex: dict = {}
+
+        def mid_of(m):
+            mid = mindex.get(m)
+            if mid is None:
+                mid = len(manifolds)
+                mindex[m] = mid
+                manifolds.append(m)
+            return mid
+
+        for r in self._ranges:
+            st, n, s, m = r["start"], r["n"], r["size"], r["manifold"]
+            sizes[st : st + n] = s
+            if _is_euclidean(m):
+                tsizes[st : st + n] = s
+            else:
+                tsizes[st : st + n] = m.tangent_size
+                manifold_ids[st : st + n] = mid_of(m)
+        for i, b in self._mat.items():
+            if b.removed:
+                removed[i] = True
+                constant[i] = False
+                sizes[i] = 0
+                tsizes[i] = 0
+                manifold_ids[i] = -1
+                continue
+            constant[i] = b.constant
+            sizes[i] = b.size
+            if _is_euclidean(b.manifold):
+                tsizes[i] = b.size
+                manifold_ids[i] = -1
+            else:
+                tsizes[i] = b.manifold.tangent_size
+                manifold_ids[i] = mid_of(b.manifold)
+        # compact away manifolds left with no live members (e.g. a range
+        # whose every block was individually overridden)
+        used = np.unique(manifold_ids[manifold_ids >= 0])
+        if used.size != len(manifolds):
+            remap = np.full(len(manifolds) + 1, -1, dtype=np.int64)
+            remap[used] = np.arange(used.size)
+            manifold_ids = np.where(
+                manifold_ids >= 0, remap[manifold_ids], -1
+            )
+            manifolds = [manifolds[int(u)] for u in used]
+        return removed, constant, sizes, tsizes, manifold_ids, manifolds
+
+    def removed_mask(self) -> np.ndarray:
+        mask = np.zeros(self._len, dtype=bool)
+        for i, b in self._mat.items():
+            if b.removed:
+                mask[i] = True
+        return mask
+
+    def num_removed(self) -> int:
+        return sum(1 for b in self._mat.values() if b.removed)
+
+    def fill_state(self, state0: np.ndarray, x_offsets: np.ndarray):
+        """state0[x_offsets[i] : +size] = block i's values, vectorized."""
+        for r in self._ranges:
+            st, n, s = r["start"], r["n"], r["size"]
+            offs = x_offsets[st : st + n]
+            ok = offs >= 0
+            rows = offs[ok, None] + np.arange(s)[None, :]
+            state0[rows.reshape(-1)] = r["values"][ok].reshape(-1)
+        for i, b in self._mat.items():
+            if b.removed:
+                continue
+            o = int(x_offsets[i])
+            if o >= 0:
+                state0[o : o + b.size] = b.values
+
+    def write_back(self, state: np.ndarray, x_offsets: np.ndarray):
+        """Inverse of fill_state: range matrices (and any materialized
+        blocks' arrays) take the solved values."""
+        for r in self._ranges:
+            st, n, s = r["start"], r["n"], r["size"]
+            offs = x_offsets[st : st + n]
+            ok = offs >= 0
+            rows = offs[ok, None] + np.arange(s)[None, :]
+            r["values"][ok] = state[rows.reshape(-1)].reshape(-1, s)
+        for i, b in self._mat.items():
+            # replaced (non-view) value arrays need their own write
+            if b.removed:
+                continue
+            o = int(x_offsets[i])
+            if o >= 0:
+                b.values[:] = state[o : o + b.size]
+
+    def bounds_any(self) -> bool:
+        # bounds can only be set through a materialized block
+        return any(
+            (b.lower_bound is not None or b.upper_bound is not None)
+            for b in self._mat.values()
+            if not b.removed
+        )
+
+    def fill_bounds(self, lower, upper, x_offsets):
+        for i, b in self._mat.items():
+            if b.removed:
+                continue
+            o = int(x_offsets[i])
+            if o < 0:
+                continue
+            if b.lower_bound is not None:
+                lower[o : o + b.size] = b.lower_bound
+            if b.upper_bound is not None:
+                upper[o : o + b.size] = b.upper_bound
 
 
 @dataclasses.dataclass
@@ -69,7 +259,7 @@ class Problem:
         invoked before each evaluation — the hook user code uses to refresh
         shared quantities (reference: evaluation_callback.h via
         Problem::Options::evaluation_callback)."""
-        self._blocks: list[_ParameterBlock] = []
+        self._blocks = _BlockStore()
         self._batches: list[_ResidualBatch] = []
         self._next_residual_handle = 0
         # handles are assigned contiguously per batch, so handle -> (batch,
@@ -110,10 +300,9 @@ class Problem:
         if v.size == 0:
             raise ValueError("parameter block must be non-empty")
         self._check_manifold(v.size, manifold)
-        block = _ParameterBlock(index=len(self._blocks), values=v, manifold=manifold)
-        self._blocks.append(block)
+        handle = self._blocks.append_range(v.reshape(1, -1), manifold)
         self._dirty = True
-        return block.index
+        return handle
 
     def add_parameter_blocks(
         self, values, manifold: Optional[Manifold] = None
@@ -124,13 +313,8 @@ class Problem:
         if v.ndim != 2:
             raise ValueError("add_parameter_blocks expects [n, size]")
         self._check_manifold(v.shape[1], manifold)
-        start = len(self._blocks)
-        v = v.copy()  # one private copy; block values are row views of it
-        blocks = self._blocks
-        for i in range(v.shape[0]):
-            blocks.append(
-                _ParameterBlock(index=start + i, values=v[i], manifold=manifold)
-            )
+        # one private copy; any materialized block's values are row views
+        start = self._blocks.append_range(v.copy(), manifold)
         self._dirty = True
         return np.arange(start, start + v.shape[0])
 
@@ -243,10 +427,7 @@ class Problem:
             ][0]
             raise ValueError(f"unknown parameter block {bad}")
         if self._num_removed_blocks:
-            removed = np.fromiter(
-                (b.removed for b in self._blocks), dtype=bool,
-                count=len(self._blocks),
-            )
+            removed = self._blocks.removed_mask()
             hit = removed[pid]
             if hit.any():
                 bad = pid[hit][0]
@@ -305,15 +486,15 @@ class Problem:
     # ------------------------------------------------------------------ #
 
     def num_parameter_blocks(self) -> int:
-        return sum(1 for b in self._blocks if not b.removed)
+        return len(self._blocks) - self._blocks.num_removed()
 
     def num_parameters(self) -> int:
-        return sum(b.size for b in self._blocks if not b.removed)
+        _rm, _c, sizes, _t, _m, _ms = self._blocks.columns()
+        return int(sizes.sum())
 
     def num_effective_parameters(self) -> int:
-        return sum(
-            b.tangent_size for b in self._blocks if not b.removed and not b.constant
-        )
+        _rm, constant, _s, tsizes, _m, _ms = self._blocks.columns()
+        return int(tsizes[~constant].sum())
 
     def num_residual_blocks(self) -> int:
         return int(sum(batch.alive.sum() for batch in self._batches))

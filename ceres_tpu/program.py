@@ -34,6 +34,23 @@ from .loss import LossFunction
 from .manifolds import EuclideanManifold, Manifold
 
 
+def _span_indices(starts, lens):
+    """Concatenate [start_i, start_i + len_i) ranges into one index vector
+    without a Python loop: the vectorized form of
+    concat([arange(s, s+l) for s, l in zip(starts, lens)])."""
+    starts = np.asarray(starts, dtype=np.int64)
+    lens = np.asarray(lens, dtype=np.int64)
+    total = int(lens.sum())
+    if total == 0:
+        return np.zeros(0, dtype=np.int64)
+    # offset-within-span via a running reset at each span boundary
+    ends = np.cumsum(lens)
+    idx = np.arange(total, dtype=np.int64)
+    span_of = np.searchsorted(ends, idx, side="right")
+    within = idx - (ends - lens)[span_of]
+    return starts[span_of] + within
+
+
 @dataclasses.dataclass(frozen=True)
 class PositionMeta:
     """Static description of one parameter slot of a signature."""
@@ -172,36 +189,46 @@ class Program:
     # layout
     # ------------------------------------------------------------------ #
 
+    @staticmethod
+    def _span_indices(starts, lens):
+        return _span_indices(starts, lens)
+
     def _collect_block_arrays(self):
-        """Single python pass over block objects -> numpy columns (all
-        subsequent layout math is vectorized)."""
+        """Per-block metadata columns, via the block store's vectorized
+        path when available (problem.py _BlockStore.columns — no
+        per-object Python work at BA scale) or a generic object pass."""
         blocks = self._blocks
-        nb = len(blocks)
-        removed = np.zeros(nb, dtype=bool)
-        constant = np.zeros(nb, dtype=bool)
-        sizes = np.zeros(nb, dtype=np.int64)
-        tsizes = np.zeros(nb, dtype=np.int64)
-        manifold_ids = np.full(nb, -1, dtype=np.int64)  # -1 = Euclidean/None
-        manifolds: list = []
-        manifold_index: dict = {}
-        for b in blocks:
-            i = b.index
-            removed[i] = b.removed
-            if b.removed:
-                continue
-            constant[i] = b.constant
-            sizes[i] = b.size
-            m = b.manifold
-            if m is None or isinstance(m, EuclideanManifold):
-                tsizes[i] = sizes[i]
-            else:
-                tsizes[i] = m.tangent_size
-                mid = manifold_index.get(m)
-                if mid is None:
-                    mid = len(manifolds)
-                    manifold_index[m] = mid
-                    manifolds.append(m)
-                manifold_ids[i] = mid
+        if hasattr(blocks, "columns"):
+            removed, constant, sizes, tsizes, manifold_ids, manifolds = (
+                blocks.columns()
+            )
+        else:
+            nb = len(blocks)
+            removed = np.zeros(nb, dtype=bool)
+            constant = np.zeros(nb, dtype=bool)
+            sizes = np.zeros(nb, dtype=np.int64)
+            tsizes = np.zeros(nb, dtype=np.int64)
+            manifold_ids = np.full(nb, -1, dtype=np.int64)
+            manifolds = []
+            manifold_index: dict = {}
+            for b in blocks:
+                i = b.index
+                removed[i] = b.removed
+                if b.removed:
+                    continue
+                constant[i] = b.constant
+                sizes[i] = b.size
+                m = b.manifold
+                if m is None or isinstance(m, EuclideanManifold):
+                    tsizes[i] = sizes[i]
+                else:
+                    tsizes[i] = m.tangent_size
+                    mid = manifold_index.get(m)
+                    if mid is None:
+                        mid = len(manifolds)
+                        manifold_index[m] = mid
+                        manifolds.append(m)
+                    manifold_ids[i] = mid
         self._col_removed = removed
         self._col_constant = constant
         self._col_manifold_ids = manifold_ids
@@ -306,22 +333,35 @@ class Program:
         self.num_effective_parameters = int(self.tangent_class_bases[-1])
 
         self.state0 = np.zeros(self.num_parameters, dtype=np.float64)
-        for b in blocks:
-            if not b.removed:
-                o = self.x_offsets[b.index]
-                self.state0[o : o + b.size] = b.values
+        if hasattr(blocks, "fill_state"):
+            blocks.fill_state(self.state0, self.x_offsets)
+        else:
+            for b in blocks:
+                if not b.removed:
+                    o = self.x_offsets[b.index]
+                    self.state0[o : o + b.size] = b.values
 
         # bounds (reference: ParameterBlock bounds clamping,
         # parameter_block.h PlusWithBoundsClamping)
-        self.has_bounds = any(
-            (b.lower_bound is not None or b.upper_bound is not None)
-            for b in blocks
-            if not b.removed
-        )
+        if hasattr(blocks, "bounds_any"):
+            self.has_bounds = blocks.bounds_any()
+        else:
+            self.has_bounds = any(
+                (b.lower_bound is not None or b.upper_bound is not None)
+                for b in blocks
+                if not b.removed
+            )
         if self.has_bounds:
             self.lower_bound = np.full(self.num_parameters, -np.inf)
             self.upper_bound = np.full(self.num_parameters, np.inf)
-            for b in blocks:
+            if hasattr(blocks, "fill_bounds"):
+                blocks.fill_bounds(
+                    self.lower_bound, self.upper_bound, self.x_offsets
+                )
+                _skip_bounds_loop = True
+            else:
+                _skip_bounds_loop = False
+            for b in (() if _skip_bounds_loop else blocks):
                 if b.removed:
                     continue
                 o = self.x_offsets[b.index]
@@ -341,24 +381,22 @@ class Program:
         excluded; the projection in Plus still clamps them)."""
         if getattr(self, "_bound_maps", None) is not None:
             return self._bound_maps
-        from .manifolds import EuclideanManifold
-
-        t_idx, a_idx = [], []
-        for b in self._blocks:
-            if b.removed or b.constant:
-                continue
-            if b.manifold is not None and not isinstance(
-                b.manifold, EuclideanManifold
-            ):
-                continue
-            to = int(self.t_offsets[b.index])
-            ao = int(self.x_offsets[b.index])
-            t_idx.append(np.arange(to, to + b.size))
-            a_idx.append(np.arange(ao, ao + b.size))
-        self._bound_maps = (
-            np.concatenate(t_idx) if t_idx else np.zeros(0, dtype=np.int64),
-            np.concatenate(a_idx) if a_idx else np.zeros(0, dtype=np.int64),
-        )
+        sel = np.nonzero(
+            (~self._col_removed)
+            & (~self._col_constant)
+            & (self._col_manifold_ids < 0)  # Euclidean/None only
+            & (self.t_offsets >= 0)
+        )[0]
+        if sel.size:
+            self._bound_maps = (
+                _span_indices(self.t_offsets[sel], self.sizes[sel]),
+                _span_indices(self.x_offsets[sel], self.sizes[sel]),
+            )
+        else:
+            self._bound_maps = (
+                np.zeros(0, dtype=np.int64),
+                np.zeros(0, dtype=np.int64),
+            )
         return self._bound_maps
 
     # ------------------------------------------------------------------ #
@@ -877,12 +915,9 @@ class Program:
         """(e_mask, f_mask) over the tangent vector [num_eff]."""
         e_blocks, _, _ = self.compute_schur_partition()
         e = np.zeros(self.num_effective_parameters, dtype=np.float64)
-        for b in self._blocks:
-            if b.removed or b.constant:
-                continue
-            if e_blocks[b.index]:
-                o = int(self.t_offsets[b.index])
-                e[o : o + b.tangent_size] = 1.0
+        sel = np.nonzero(np.asarray(e_blocks) & (self.t_offsets >= 0))[0]
+        if sel.size:
+            e[_span_indices(self.t_offsets[sel], self.tangent_sizes[sel])] = 1.0
         return e, 1.0 - e
 
     # ------------------------------------------------------------------ #
@@ -943,6 +978,9 @@ class Program:
         """Copy a solved state vector back into the Problem's blocks."""
         state = np.asarray(state, dtype=np.float64)
         self.state0 = state.copy()
+        if hasattr(self._blocks, "write_back"):
+            self._blocks.write_back(state, self.x_offsets)
+            return
         for b in self._blocks:
             if b.removed:
                 continue
