@@ -120,9 +120,17 @@ def test_pallas_jacobian_path_matches_xla_on_chip(prog):
         program, arrays, state, True, env={"CERES_TPU_NO_PALLAS": "1"}
     )
     assert abs(c_k - c_x) <= 1e-4 * (1 + abs(c_x))
-    np.testing.assert_allclose(g_k, g_x, rtol=1e-3, atol=1e-3)
+    # Gradient entries are ~10^3-term f32 reductions of ~10^3-magnitude
+    # Jacobian values; the XLA fusion path's fast-math rewrites cost ~1e-3
+    # relative per value (pallas_eval.py header — the kernel is the MORE
+    # accurate one vs f64), so the A/B tolerance is scaled to the gradient
+    # magnitude rather than absolute. True-accuracy anchoring is the f64
+    # reference test above.
+    g_scale = float(np.abs(g_x).max())
+    np.testing.assert_allclose(g_k, g_x, rtol=2e-3, atol=1e-4 * g_scale)
     for a, b in zip(r_k, r_x):
-        np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-3)
+        r_scale = float(np.abs(b).max())
+        np.testing.assert_allclose(a, b, rtol=2e-3, atol=1e-5 * r_scale)
 
 
 def test_residual_only_kernel_matches_xla_on_chip(prog):
