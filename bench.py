@@ -207,6 +207,8 @@ def phase_lm():
     work across chunks (the default problem reaches the f32 cost floor in
     ~4 iterations)."""
     jax, dev, scale = _phase_env_setup()
+    import numpy as np
+
     import ceres_tpu
     from ceres_tpu import HuberLoss
     from ceres_tpu.types import (
@@ -227,53 +229,75 @@ def phase_lm():
     )
     problem, _, _ = build_ba_problem(bal, loss=HuberLoss(1.0))
 
-    # Short fused chunks: this platform's TPU worker kills very long single
-    # device programs (a 20-iteration chunk with a deep PCG took the worker
-    # down), and short chunks give clean compile-free steady-state chunks
-    # to time. Chunk length is a first-class option now (round-2 verdict).
-    chunk = 6
-    options = SolverOptions(
-        linear_solver_type=LinearSolverType.ITERATIVE_SCHUR,
-        preconditioner_type=PreconditionerType.SCHUR_JACOBI,
-        fused_execution_chunk_iters=chunk,
-        # chunk 1 pays the jit compile; later chunks are steady state
-        max_num_iterations=3 * chunk,
-        eta=1e-1,
-        max_linear_solver_iterations=25,  # bound each chunk's runtime
-        function_tolerance=0.0,
-        gradient_tolerance=0.0,
-        parameter_tolerance=0.0,
-        min_trust_region_radius=1e-300,  # don't let radius collapse end it
-        max_num_consecutive_invalid_steps=50,  # nor tiny-step rejection
-    )
-    t0 = time.perf_counter()
-    summary = ceres_tpu.solve(options, problem)
-    total = time.perf_counter() - t0
-    iters = summary.num_successful_steps + summary.num_unsuccessful_steps
-    iters = max(iters, 1)
-    steady = [
-        it.iteration_time_in_seconds
-        for it in summary.iterations
-        if it.iteration > chunk
-    ]
-    if steady:
-        lm_s_per_iter = sum(steady) / len(steady)
-    else:
-        # fell short of chunk 2 — report the amortized rate incl. compile
-        lm_s_per_iter = summary.minimizer_time_in_seconds / iters
-    lm_ms = lm_s_per_iter * 1000.0
-    emit(
-        "bal1778_lm_iteration_ms",
-        lm_ms,
-        "ms",
-        BASE_LM_ITER_MS,
-        platform=dev.platform,
-        iterations=iters,
-        iterations_per_s=round(1000.0 / lm_ms, 3),
-        fused=bool(summary.used_fused_execution),
-        total_solve_s=round(total, 1),
-        baseline_note="V100 evaluation-only floor (no linear solve included)",
-    )
+    # chunk=1: ONE device dispatch per LM iteration, so every iteration's
+    # wall time is measured directly — no chunk amortization (round-2
+    # verdict #5). The ~25 ms relay round trip per dispatch is included
+    # (honest; it is part of this platform's cost). Short dispatches also
+    # sidestep the platform's long-device-program worker kills.
+    chunk = 1
+    n_iters = 16
+
+    def run(mixed):
+        options = SolverOptions(
+            linear_solver_type=LinearSolverType.ITERATIVE_SCHUR,
+            preconditioner_type=PreconditionerType.SCHUR_JACOBI,
+            fused_execution_chunk_iters=chunk,
+            max_num_iterations=n_iters,
+            eta=1e-1,
+            max_linear_solver_iterations=25,  # bound each dispatch's runtime
+            use_mixed_precision_solves=mixed,
+            function_tolerance=0.0,
+            gradient_tolerance=0.0,
+            parameter_tolerance=0.0,
+            min_trust_region_radius=1e-300,  # don't let radius collapse end it
+            max_num_consecutive_invalid_steps=50,  # nor tiny-step rejection
+        )
+        t0 = time.perf_counter()
+        summary = ceres_tpu.solve(options, problem)
+        return summary, time.perf_counter() - t0
+
+    for mixed in (False, True):
+        summary, total = run(mixed)
+        iters = summary.num_successful_steps + summary.num_unsuccessful_steps
+        iters = max(iters, 1)
+        # iteration 1 pays the jit compile; the rest are steady dispatches
+        steady = [
+            it.iteration_time_in_seconds
+            for it in summary.iterations
+            if it.iteration > 1
+        ]
+        if steady:
+            lm_s_per_iter = sum(steady) / len(steady)
+        else:
+            lm_s_per_iter = summary.minimizer_time_in_seconds / iters
+        lm_ms = lm_s_per_iter * 1000.0
+        emit(
+            "bal1778_lm_iteration_mixed_ms" if mixed else "bal1778_lm_iteration_ms",
+            lm_ms,
+            "ms",
+            BASE_LM_ITER_MS,
+            platform=dev.platform,
+            iterations=iters,
+            iterations_per_s=round(1000.0 / lm_ms, 3),
+            fused=bool(summary.used_fused_execution),
+            unamortized=True,
+            mean_linear_iters=round(
+                float(
+                    np.mean(
+                        [
+                            it.linear_solver_iterations
+                            for it in summary.iterations
+                            if it.iteration > 0
+                        ]
+                    )
+                )
+                if len(summary.iterations) > 1
+                else 0.0,
+                1,
+            ),
+            total_solve_s=round(total, 1),
+            baseline_note="V100 evaluation-only floor (no linear solve included)",
+        )
 
 
 def phase_eval13682():
