@@ -178,21 +178,32 @@ def bench_pcg(program, n):
     dsq_e = dsq * jnp.asarray(e_np, jnp.float32)
     dsq_f = dsq * jnp.asarray(f_np, jnp.float32)
 
-    jac_e, jac_f = schur_views(program, jac)
-
+    # Everything large rides as traced ARGUMENTS (BlockJacobian is a
+    # pytree): a closure would bake the [26 x 5M] Jacobian into the
+    # program as constants — this platform's remote compile rejects the
+    # payload (HTTP 413).
     @jax.jit
-    def build_prec(g):
+    def build_prec(jac, g):
+        jac_e, jac_f = schur_views(program, jac)
         ete = make_ete_solver(program, jac_e, dsq_e)
-        blocks = schur_jacobi_blocks(program, jac_e, jac_f, ete, dsq_f)
-        return blocks
+        return schur_jacobi_blocks(program, jac_e, jac_f, ete, dsq_f), dict(
+            ete.inv_tables
+        )
 
-    blocks = timed("schur_jacobi_precond_build", build_prec, grad, n_obs=n)
-
-    ete = make_ete_solver(program, jac_e, dsq_e)
-    prec = BlockDiagSolver(program, blocks)
+    out = timed("schur_jacobi_precond_build", build_prec, jac, grad, n_obs=n)
+    blocks, ete_tables = out
 
     @jax.jit
-    def s_apply_prec(y):
+    def prec_tables_of(blocks):
+        return dict(BlockDiagSolver(program, blocks).inv_tables)
+
+    prec_tables = prec_tables_of(list(blocks))
+
+    @jax.jit
+    def s_apply_prec(jac, y, ete_tables, prec_tables):
+        jac_e, jac_f = schur_views(program, jac)
+        ete = BlockDiagSolver.from_inverse_tables(program, ete_tables)
+        prec = BlockDiagSolver.from_inverse_tables(program, prec_tables)
         t1 = jac_f.right_multiply(y)
         t2 = ete(jac_e.left_multiply(t1))
         et2 = jac_e.right_multiply(t2)
@@ -200,7 +211,15 @@ def bench_pcg(program, n):
         sy = jac_f.left_multiply(diff) + dsq_f * y
         return prec(sy)
 
-    timed("pcg_iteration_implicit_schur", s_apply_prec, grad, n_obs=n)
+    timed(
+        "pcg_iteration_implicit_schur",
+        s_apply_prec,
+        jac,
+        grad,
+        ete_tables,
+        prec_tables,
+        n_obs=n,
+    )
 
 
 def bench_chunk(program, n, scale):

@@ -103,6 +103,16 @@ class BlockDiagSolver:
             s = program.tangent_class_sizes[cls]
             self.inv_tables[cls] = _inverse_T(table, s)
 
+    @classmethod
+    def from_inverse_tables(cls, program, inv_tables: dict):
+        """Wrap pre-inverted tables (e.g. passed as traced jit arguments so
+        a compiled caller doesn't capture them as giant constants — this
+        platform's remote compile rejects large payloads)."""
+        self = cls.__new__(cls)
+        self.program = program
+        self.inv_tables = dict(inv_tables)
+        return self
+
     @property
     def classes(self):
         return sorted(self.inv_tables.keys())

@@ -105,6 +105,21 @@ def main():
     )
     ap.add_argument("--spse_tolerance", type=float, default=0.1)
     ap.add_argument("--max_num_spse_iterations", type=int, default=5)
+    ap.add_argument(
+        "--inner_iteration_ordering",
+        default="automatic", choices=["automatic", "points", "cameras"],
+        help="blocks the inner-iteration minimizer refines "
+             "(reference: inner_iteration_ordering group 0)",
+    )
+    ap.add_argument("--inner_iteration_tolerance", type=float, default=1e-3)
+    ap.add_argument(
+        "--trust_region_line_search", action="store_true",
+        help="Armijo polish on every valid TR step (unbounded problems)",
+    )
+    ap.add_argument(
+        "--fused_chunk_iters", type=int, default=0,
+        help="LM iterations per fused device dispatch (0 = default)",
+    )
     ap.add_argument("--mixed_precision", action="store_true", help="f32 path")
     ap.add_argument(
         "--mixed_precision_solves", action="store_true",
@@ -208,6 +223,15 @@ def main():
         use_spse_initialization=args.use_spse_initialization,
         spse_tolerance=args.spse_tolerance,
         max_num_spse_iterations=args.max_num_spse_iterations,
+        inner_iteration_tolerance=args.inner_iteration_tolerance,
+        inner_iteration_ordering=(
+            None if args.inner_iteration_ordering == "automatic"
+            else [int(h) for h in (
+                pts if args.inner_iteration_ordering == "points" else cams
+            )]
+        ),
+        trust_region_use_line_search=args.trust_region_line_search,
+        fused_execution_chunk_iters=args.fused_chunk_iters,
         use_mixed_precision_solves=args.mixed_precision_solves,
         max_num_refinement_iterations=args.max_num_refinement_iterations,
         minimizer_progress_to_stdout=True,
