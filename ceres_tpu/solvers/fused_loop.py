@@ -333,7 +333,26 @@ def make_chunk_fn(program, options, step_fn, sharded_evaluator=None):
             nfail=jnp.asarray(0, jnp.int32),
             njac=jnp.asarray(0, jnp.int32),
         )
-        return jax.lax.while_loop(cond, body, init)
+        final = jax.lax.while_loop(cond, body, init)
+        # every host-facing number in ONE flat array: each separate scalar
+        # fetch costs a full relay round trip (~25 ms on this platform),
+        # which at chunk=1 was ~100 ms/iteration of pure fetch latency
+        final["packed"] = jnp.concatenate(
+            [
+                jnp.stack(
+                    [
+                        final["it"].astype(dtype),
+                        final["term"].astype(dtype),
+                        final["nsucc"].astype(dtype),
+                        final["nfail"].astype(dtype),
+                        final["njac"].astype(dtype),
+                        final["cost"].astype(dtype),
+                    ]
+                ),
+                final["stats"].reshape(-1),
+            ]
+        )
+        return final
 
     if sharded_evaluator is None:
         return jax.jit(chunk_fn)
@@ -355,7 +374,7 @@ def make_chunk_fn(program, options, step_fn, sharded_evaluator=None):
         it=rep, term=rep, state=rep, cost=rep,
         res=res_specs, jac=jac_specs, grad=rep,
         radius=rep, df=rep, ninv=rep, se=se_specs, stats=rep,
-        nsucc=rep, nfail=rep, njac=rep,
+        nsucc=rep, nfail=rep, njac=rep, packed=rep,
     )
     return jax.jit(
         jax.shard_map(
@@ -455,8 +474,15 @@ def run_fused(minimizer, state, summary):
             ev.arrays, state, cost_dev, res, jac_children, grad, scale,
             radius, df, ninv, se, jnp.asarray(limit, jnp.int32),
         )
-        n_it = int(out["it"])
-        stats = np.asarray(out["stats"][:n_it])
+        # ONE device->host fetch for everything the host needs this chunk
+        packed = np.asarray(out["packed"], dtype=np.float64)
+        n_it = int(packed[0])
+        term_chunk = int(packed[1])
+        nsucc = int(packed[2])
+        nfail = int(packed[3])
+        njac = int(packed[4])
+        cost_host = float(packed[5])  # current cost without a second fetch
+        stats = packed[6:].reshape(-1, _N_STATS)[:n_it]
         chunk_time = time.time() - t_chunk
 
         state = out["state"]
@@ -465,10 +491,9 @@ def run_fused(minimizer, state, summary):
         jac_children = out["jac"]
         grad = out["grad"]
         radius, df, ninv, se = out["radius"], out["df"], out["ninv"], out["se"]
-        nsucc = int(out["nsucc"])
         summary.num_successful_steps += nsucc
-        summary.num_unsuccessful_steps += int(out["nfail"])
-        summary.num_jacobian_evaluations += int(out["njac"])
+        summary.num_unsuccessful_steps += nfail
+        summary.num_jacobian_evaluations += njac
         summary.num_residual_evaluations += n_it
         summary.num_linear_solves += n_it
         summary.linear_solver_time_in_seconds += chunk_time
@@ -479,9 +504,7 @@ def run_fused(minimizer, state, summary):
         # fully separated per-call timings.
         exec_sum.record("FusedLoop::Chunk", chunk_time)
         exec_sum.record("Evaluator::Residual [fused]", 0.0, calls=n_it)
-        exec_sum.record(
-            "Evaluator::Jacobian [fused]", 0.0, calls=int(out["njac"])
-        )
+        exec_sum.record("Evaluator::Jacobian [fused]", 0.0, calls=njac)
         exec_sum.record("LinearSolver::Solve [fused]", 0.0, calls=n_it)
 
         for k in range(n_it):
@@ -507,7 +530,7 @@ def run_fused(minimizer, state, summary):
             minimizer._log(it_sum)
 
         iters_done += n_it
-        term_code = int(out["term"])
+        term_code = term_chunk
         if term_code != _CONTINUE:
             break
         if n_it == 0:
