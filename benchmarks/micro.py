@@ -156,6 +156,31 @@ def bench_reduce(program, n):
             timed(f"reduce_segsum_pos{pos}", f2, contrib, rows, n_obs=meta.n, out=cnt)
 
 
+def bench_gather(program, n):
+    """Parameter-gather variants [cnt, s] table -> [s, n] lanes: the
+    camera-side gather inside every partitioned product (one-hot MXU vs
+    row-take+transpose vs lane-axis take)."""
+    from ceres_tpu.jacobian import gather_T
+
+    meta = program.groups[0]
+    idx = program.group_idx[0]
+    # camera position = the non-owner position
+    pos = 0 if meta.owner != 0 else 1
+    pm = meta.positions[pos]
+    cnt = program.tangent_class_counts[pm.t_cls]
+    rows = jnp.asarray(idx["t_rows"][pos])
+    table = jnp.asarray(
+        np.random.RandomState(0).randn(cnt + 1, pm.tangent_size), jnp.float32
+    )
+
+    f1 = jax.jit(lambda t, r: gather_T(("onehot",), t, r))
+    timed("gather_onehot", f1, table, rows, n_obs=meta.n, cnt=cnt)
+    f2 = jax.jit(lambda t, r: jnp.take(t, r, axis=0).T)
+    timed("gather_take_T", f2, table, rows, n_obs=meta.n, cnt=cnt)
+    f3 = jax.jit(lambda t, r: t.T[:, r])
+    timed("gather_lane_axis", f3, table, rows, n_obs=meta.n, cnt=cnt)
+
+
 def bench_pcg(program, n):
     """One implicit-Schur PCG iteration (4 partitioned products +
     preconditioner), and the SCHUR_JACOBI preconditioner build
@@ -277,7 +302,7 @@ def bench_chunk(program, n, scale):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--scale", type=float, default=None)
-    ap.add_argument("--only", type=str, default="eval,reduce,pcg,chunk")
+    ap.add_argument("--only", type=str, default="eval,reduce,gather,pcg,chunk")
     args = ap.parse_args()
     on_tpu = jax.default_backend() == "tpu"
     scale = args.scale if args.scale is not None else (1.0 if on_tpu else 0.003)
@@ -294,6 +319,8 @@ def main():
         bench_eval(program, n)
     if "reduce" in which:
         bench_reduce(program, n)
+    if "gather" in which:
+        bench_gather(program, n)
     if "pcg" in which:
         bench_pcg(program, n)
     if "chunk" in which:
