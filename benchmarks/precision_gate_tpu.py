@@ -106,7 +106,14 @@ print("REF " + json.dumps({{"final": c, "initial": c0, "s": dt}}))
 """
     out = subprocess.run(
         [sys.executable, "-c", script],
-        env=dict(os.environ, JAX_PLATFORMS="cpu", BENCH_PHASE=""),
+        # no one-hot reduction plans on CPU: XLA-CPU materializes the
+        # [n, cnt] one-hot operand (148 GB OOM at f64 full scale)
+        env=dict(
+            os.environ,
+            JAX_PLATFORMS="cpu",
+            BENCH_PHASE="",
+            CERES_TPU_NO_ONEHOT="1",
+        ),
         capture_output=True, text=True, timeout=5400,
     )
     for ln in out.stdout.splitlines():

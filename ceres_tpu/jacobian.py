@@ -116,6 +116,53 @@ def gather_T(plan, table, rows, axis_name=None):
     return jnp.take(table, rows, axis=0).T
 
 
+def gather_T_t(plan, table_t, rows, axis_name=None):
+    """gather_T for a TRANSPOSED class table [s, cnt+1(+pad)] -> [s, n].
+
+    The t-form twin used by the table-vector ("tvec") product path: every
+    access is a lane-axis slice/matmul, so no [cnt, s] <-> [s, cnt]
+    transpose ever materializes (a [1M, 3] transpose inside a while_loop
+    costs ~30 ms per iteration on TPU — measured; see linalg/cg.py).
+    The dump (constant-block) column of table_t must be zero.
+    """
+    if plan is not None and plan[0] == "bucket":
+        parts = []
+        s = table_t.shape[0]
+        for (lane_start, n_seg, d, out_row) in plan[1]:
+            seg = table_t[:, out_row : out_row + n_seg]  # [s, n_seg]
+            parts.append(
+                jnp.broadcast_to(seg[:, None, :], (s, d, n_seg)).reshape(
+                    s, d * n_seg
+                )
+            )
+        return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
+    if plan is not None and plan[0] == "bucket_sharded":
+        sidx = jax.lax.axis_index(axis_name)
+        s, ncols = table_t.shape
+        parts = []
+        for (local_start, per_e, d, out_row) in plan[1]:
+            col = jnp.minimum(out_row + sidx * per_e, ncols - per_e)
+            seg = jax.lax.dynamic_slice(
+                table_t, (jnp.zeros_like(col), col), (s, per_e)
+            )
+            parts.append(
+                jnp.broadcast_to(seg[:, None, :], (s, d, per_e)).reshape(
+                    s, d * per_e
+                )
+            )
+        return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
+    if plan is not None and plan[0] == "onehot":
+        onehot = jax.nn.one_hot(
+            rows, table_t.shape[1], dtype=table_t.dtype, axis=0
+        )
+        return jnp.einsum(
+            "sc,cn->sn", table_t, onehot, preferred_element_type=table_t.dtype
+        )
+    # plan-less fallback (small problems only): row-major gather on the
+    # un-transposed table
+    return jnp.take(table_t.T, rows, axis=0).T
+
+
 def reduce_T(plan, contrib, rows, num_out, axis_name=None, acc_dtype=None):
     """Segment-reduce transposed contributions [k, n] -> [k, num_out(+pad)].
 
@@ -379,6 +426,118 @@ class BlockJacobian:
         if not parts:
             return jnp.zeros(0, self._acc_dtype())
         return jnp.concatenate(parts)
+
+    # -- table-vector ("tvec") form ---------------------------------------- #
+    #
+    # A tangent vector represented as per-class TRANSPOSED tables
+    # [s, cnt+1+pad] (dump + shard-pad columns zero). All products,
+    # preconditioner applies, and CG vector algebra run directly in this
+    # form, so the [cnt, s] <-> [s, cnt] class-table transposes — which
+    # XLA materializes as physical relayouts on every lax.while_loop
+    # iteration (~30 ms each at BA scale; measured) — happen exactly
+    # twice per linear solve (entry/exit) instead of several times per
+    # PCG iteration. The SURVEY §7 "PCG over a vector protocol" design.
+
+    def tvec(self, v):
+        """flat [num_eff] -> list of per-class [s, cnt+1+pad] tables."""
+        p = self.program
+        pad = 1 + self._col_pad()
+        out = []
+        for cls in range(len(p.tangent_class_sizes)):
+            base, cnt, s = p.tangent_class_slice(cls)
+            t = v[base : base + cnt * s].reshape(cnt, s).T  # [s, cnt]
+            out.append(
+                jnp.concatenate([t, jnp.zeros((s, pad), v.dtype)], axis=1)
+            )
+        return out
+
+    def tvec_flat(self, tv):
+        """Inverse of tvec (drops dump/pad columns)."""
+        return self._flatten_classes_T(tv)
+
+    def tvec_zeros(self, dtype=None):
+        p = self.program
+        dtype = dtype or self._acc_dtype()
+        pad = 1 + self._col_pad()
+        return [
+            jnp.zeros((s, cnt + pad), dtype)
+            for cnt, s in zip(p.tangent_class_counts, p.tangent_class_sizes)
+        ]
+
+    def _zero_pad_cols(self, tv):
+        """Zero the dump/pad columns (constant-block sums must not feed
+        back into gathers)."""
+        p = self.program
+        out = []
+        for cls, t in enumerate(tv):
+            cnt = p.tangent_class_counts[cls]
+            s = t.shape[0]
+            out.append(
+                jnp.concatenate(
+                    [t[:, :cnt], jnp.zeros((s, t.shape[1] - cnt), t.dtype)],
+                    axis=1,
+                )
+            )
+        return out
+
+    def right_multiply_t(self, tv):
+        """J v for a tvec v -> per-group residuals [r, n]. col_scale must
+        already be folded into the leaves (materialize_scale)."""
+        assert self.col_scale is None, (
+            "tvec products require materialize_scale() first"
+        )
+        leaf_dt = self._dtype()
+        acc_dt = self._acc_dtype()
+        out = []
+        for gi in range(len(self.jac_groups)):
+            meta = self.program.groups[gi]
+            n = self._group_n(gi)
+            r = meta.num_residuals
+            acc = jnp.zeros((r, n), acc_dt)
+            for vpos, pm, jac, tr in self._iter(gi):
+                if pm.t_cls < 0:
+                    continue
+                t = pm.tangent_size
+                vg = gather_T_t(
+                    self.plan(gi, vpos),
+                    tv[pm.t_cls].astype(leaf_dt),
+                    tr,
+                    self.axis_name,
+                )  # [t, n]
+                acc = acc + (jac.reshape(r, t, n) * vg[None]).sum(axis=1).astype(
+                    acc_dt
+                )
+            out.append(acc)
+        return out
+
+    def left_multiply_t(self, u_groups):
+        """J^T u -> tvec (dump/pad columns zeroed; psummed under
+        sharding). col_scale must already be folded into the leaves."""
+        assert self.col_scale is None, (
+            "tvec products require materialize_scale() first"
+        )
+        acc = self._class_tables_T()
+        leaf_dt = self._dtype()
+        acc_dt = self._acc_dtype()
+        for gi in range(len(self.jac_groups)):
+            meta = self.program.groups[gi]
+            n = self._group_n(gi)
+            r = meta.num_residuals
+            u = u_groups[gi].astype(leaf_dt)
+            for vpos, pm, jac, tr in self._iter(gi):
+                if pm.t_cls < 0:
+                    continue
+                t = pm.tangent_size
+                contrib = (jac.reshape(r, t, n) * u[:, None, :]).sum(axis=0)
+                acc[pm.t_cls] = acc[pm.t_cls] + reduce_T(
+                    self.plan(gi, vpos),
+                    contrib,
+                    tr,
+                    acc[pm.t_cls].shape[1],
+                    self.axis_name,
+                    acc_dtype=acc_dt,
+                )
+        return self._zero_pad_cols([self._psum(a) for a in acc])
 
     # -- products --------------------------------------------------------- #
 

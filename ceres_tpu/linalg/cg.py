@@ -29,6 +29,30 @@ class CGResult(NamedTuple):
     converged: jnp.ndarray
 
 
+# Vector protocol: every CG vector is a pytree (a flat jnp array, or the
+# per-class transposed-table "tvec" form of jacobian.py — the layout that
+# keeps the whole PCG loop free of physical [cnt, s] <-> [s, cnt]
+# relayouts on TPU). The reference achieves the same genericity by
+# templating ConjugateGradientsSolver over the vector type
+# (conjugate_gradients_solver.h:54-60).
+
+
+def _tmap(f, *ts):
+    return jax.tree_util.tree_map(f, *ts)
+
+
+def _tvdot(a, b):
+    parts = [
+        jnp.vdot(x, y)
+        for x, y in zip(jax.tree_util.tree_leaves(a), jax.tree_util.tree_leaves(b))
+    ]
+    return sum(parts[1:], parts[0])
+
+
+def _tnorm(a):
+    return jnp.sqrt(_tvdot(a, a))
+
+
 def conjugate_gradients(
     matvec: Callable,
     b: jnp.ndarray,
@@ -49,14 +73,14 @@ def conjugate_gradients(
       q_tolerance: stop when the relative change of the quadratic model
         Q(x) = -0.5 x'(b + r) falls below it (reference :240-270).
     """
-    dtype = b.dtype
-    x0 = jnp.zeros_like(b) if x0 is None else x0
+    dtype = jax.tree_util.tree_leaves(b)[0].dtype
+    x0 = _tmap(jnp.zeros_like, b) if x0 is None else x0
     prec = preconditioner if preconditioner is not None else (lambda r: r)
 
-    norm_b = jnp.linalg.norm(b)
+    norm_b = _tnorm(b)
     tol_r = tolerance * norm_b
 
-    r0 = b - matvec(x0)
+    r0 = _tmap(lambda bb, ax: bb - ax, b, matvec(x0))
 
     def cond(state):
         _x, _r, _rho, _p, _q, it, done = state
@@ -65,21 +89,21 @@ def conjugate_gradients(
     def body(state):
         x, r, z_rho, p, q_prev, it, _ = state
         z = prec(r)
-        rho_new = jnp.vdot(r, z)
+        rho_new = _tvdot(r, z)
         first = it == 0
         beta = jnp.where(first, 0.0, rho_new / jnp.where(z_rho != 0, z_rho, 1.0))
-        p_new = z + beta * p
+        p_new = _tmap(lambda zz, pp: zz + beta * pp, z, p)
         ap = matvec(p_new)
-        pap = jnp.vdot(p_new, ap)
+        pap = _tvdot(p_new, ap)
         alpha = jnp.where(pap > 0, rho_new / jnp.where(pap != 0, pap, 1.0), 0.0)
-        x_new = x + alpha * p_new
-        r_new = r - alpha * ap
+        x_new = _tmap(lambda xx, pp: xx + alpha * pp, x, p_new)
+        r_new = _tmap(lambda rr, aa: rr - alpha * aa, r, ap)
 
         # Q-test (Nash truncated-Newton criterion, reference
         # conjugate_gradients_solver.h:244-283): with Q(x) = x'Ax - 2b'x and
         # r = b - Ax, Q_i = -x·(b + r); terminate when
         # i * (Q_i - Q_{i-1}) / Q_i < q_tolerance (signed test).
-        q_new = -jnp.vdot(x_new, b + r_new)
+        q_new = -_tvdot(x_new, _tmap(lambda bb, rr: bb + rr, b, r_new))
         it_new = it + 1
         zeta = jnp.where(
             q_new != 0,
@@ -93,7 +117,7 @@ def conjugate_gradients(
             jnp.logical_and(it_new >= min_iterations, zeta < q_tolerance),
         )
         done_r = jnp.logical_and(
-            it_new >= min_iterations, jnp.linalg.norm(r_new) <= tol_r
+            it_new >= min_iterations, _tnorm(r_new) <= tol_r
         )
         done_breakdown = jnp.logical_or(pap <= 0, rho_new == 0)
         done = jnp.logical_or(done_q, jnp.logical_or(done_r, done_breakdown))
@@ -103,11 +127,11 @@ def conjugate_gradients(
         x0,
         r0,
         jnp.asarray(0.0, dtype),
-        jnp.zeros_like(b),
+        _tmap(jnp.zeros_like, b),
         jnp.asarray(0.0, dtype),
         jnp.asarray(0, jnp.int32),
-        jnp.linalg.norm(r0) <= tol_r,
+        _tnorm(r0) <= tol_r,
     )
     x, r, _, _, _, it, _ = jax.lax.while_loop(cond, body, init)
-    final_norm = jnp.linalg.norm(r)
+    final_norm = _tnorm(r)
     return CGResult(x=x, iterations=it, final_norm=final_norm, converged=final_norm <= tol_r)

@@ -117,6 +117,27 @@ class BlockDiagSolver:
     def classes(self):
         return sorted(self.inv_tables.keys())
 
+    def apply_t(self, tv):
+        """Apply M^{-1} to a tvec (per-class [s, cnt+1+pad] transposed
+        tables, jacobian.py): pure lane ops, no transposes — the form the
+        PCG loop uses (a [1M, 3] class-table transpose inside a
+        lax.while_loop costs ~30 ms per iteration on TPU; measured)."""
+        out = []
+        for cls, t in enumerate(tv):
+            inv = self.inv_tables.get(cls)
+            if inv is None:
+                out.append(t)
+                continue
+            s = t.shape[0]
+            w = inv.shape[1]
+            y = apply_block_T(inv, t[:, :w], s)
+            if t.shape[1] > w:
+                y = jnp.concatenate(
+                    [y, jnp.zeros((s, t.shape[1] - w), t.dtype)], axis=1
+                )
+            out.append(y)
+        return out
+
     def __call__(self, r):
         """Apply M^{-1}: per-class transpose -> unrolled block matvec ->
         reassemble (the class-contiguous layout makes this scatter-free)."""

@@ -317,20 +317,70 @@ def schur_solve(program, options, jac_s, res_groups, grad_s, dsq):
                 program, jac_e, jac_f, ete, dsq_f,
                 options.spse_tolerance, options.max_num_spse_iterations,
             )(rhs) * f_mask
-        result = conjugate_gradients(
-            matvec=s_apply,
-            b=rhs,
-            x0=x0,
-            preconditioner=prec,
-            max_iterations=options.max_linear_solver_iterations,
-            min_iterations=options.min_linear_solver_iterations,
-            # LM maps eta to the Q-based (truncated-Newton) criterion with
-            # the residual test disabled (levenberg_marquardt_strategy.cc:98-103)
-            tolerance=0.0,
-            q_tolerance=options.eta,
+
+        # Table-vector ("tvec") PCG: the loop runs on per-class transposed
+        # tables so no [cnt, s] <-> [s, cnt] relayout materializes per
+        # iteration (measured ~30 ms each at BA scale inside while_loop —
+        # the single largest PCG cost before this path existed). Engaged
+        # for the block-diagonal preconditioners; exotic preconditioners
+        # (visibility clustering, power-series) keep the flat path.
+        use_tvec = (
+            not getattr(options, "use_explicit_schur_complement", False)
+            and options.preconditioner_type
+            in (
+                PreconditionerType.SCHUR_JACOBI,
+                PreconditionerType.JACOBI,
+                PreconditionerType.IDENTITY,
+            )
         )
-        dx_f = result.x * f_mask
-        lin_iters = result.iterations
+        if use_tvec:
+            jac_m = jac_s.materialize_scale()
+            jac_e_m, jac_f_m = schur_views(program, jac_m)
+            if getattr(options, "use_mixed_precision_solves", False):
+                jac_e_mv_m = jac_e_m.astype(jnp.bfloat16)
+                jac_f_mv_m = jac_f_m.astype(jnp.bfloat16)
+            else:
+                jac_e_mv_m, jac_f_mv_m = jac_e_m, jac_f_m
+            dsq_f_tv = jac_s.tvec(dsq_f)
+
+            def s_apply_t(y_tv):
+                t1 = jac_f_mv_m.right_multiply_t(y_tv)
+                t2 = ete.apply_t(jac_e_mv_m.left_multiply_t(t1))
+                et2 = jac_e_mv_m.right_multiply_t(t2)
+                diff = [a - b for a, b in zip(t1, et2)]
+                out = jac_f_mv_m.left_multiply_t(diff)
+                return [
+                    o + d * y for o, d, y in zip(out, dsq_f_tv, y_tv)
+                ]
+
+            result = conjugate_gradients(
+                matvec=s_apply_t,
+                b=jac_s.tvec(rhs),
+                x0=None if x0 is None else jac_s.tvec(x0),
+                preconditioner=prec.apply_t if prec is not None else None,
+                max_iterations=options.max_linear_solver_iterations,
+                min_iterations=options.min_linear_solver_iterations,
+                tolerance=0.0,
+                q_tolerance=options.eta,
+            )
+            dx_f = jac_s.tvec_flat(result.x) * f_mask
+            lin_iters = result.iterations
+        else:
+            result = conjugate_gradients(
+                matvec=s_apply,
+                b=rhs,
+                x0=x0,
+                preconditioner=prec,
+                max_iterations=options.max_linear_solver_iterations,
+                min_iterations=options.min_linear_solver_iterations,
+                # LM maps eta to the Q-based (truncated-Newton) criterion,
+                # residual test disabled
+                # (levenberg_marquardt_strategy.cc:98-103)
+                tolerance=0.0,
+                q_tolerance=options.eta,
+            )
+            dx_f = result.x * f_mask
+            lin_iters = result.iterations
     else:
         # DENSE_SCHUR (and SPARSE_SCHUR capability fallback): materialize S
         # restricted to f-coordinates through the implicit operator — a

@@ -25,6 +25,7 @@ pytree consumed by the jitted evaluator (evaluator.py).
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Optional
 
 import numpy as np
@@ -606,7 +607,14 @@ class Program:
                     if pos in plans or pm.t_cls < 0:
                         continue
                     cnt = self.tangent_class_counts[pm.t_cls]
-                    if cnt + 1 <= self.ONEHOT_MAX_COLS:
+                    # One-hot matmul reductions only pay off where the
+                    # one-hot operand is fused into the MXU feed (TPU).
+                    # XLA-CPU materializes it — [5M, 1779] f64 is 71 GB —
+                    # so CPU-bound full-scale runs (e.g. the precision
+                    # gate's f64 reference) disable it via env.
+                    if cnt + 1 <= self.ONEHOT_MAX_COLS and not os.environ.get(
+                        "CERES_TPU_NO_ONEHOT"
+                    ):
                         plans[pos] = ("onehot",)
 
             # per-position row tables, built AFTER the layout permutation so
