@@ -163,16 +163,21 @@ class Covariance:
         return np.array(sorted(wanted), dtype=np.int64)
 
     def _compute_iterative(self, jac, program, covariance_blocks) -> bool:
-        """ITERATIVE_PCG: device-resident column-subset solves.
+        """ITERATIVE_PCG: device-resident batched column-subset solves.
 
         Covariance at BA scale (the reference's threaded SUITE_SPARSE_QR
-        territory, covariance_impl.cc:700-889): for each requested tangent
-        column e_k, solve (J^T J) x = e_k by PCG against the matrix-free
-        jtj_multiply operator with the block-Jacobi preconditioner — J is
-        never materialized and nothing leaves the device. One jitted solve
-        is reused for every column. Rank deficiency surfaces as
-        non-convergence -> False (the reference returns false from its
-        factorization in the same situation).
+        territory, covariance_impl.cc:700-889 — threaded per-column solves):
+        solve (J^T J) X = E for all requested tangent columns at once by
+        vmapping one PCG over the RHS columns — J is never materialized,
+        nothing leaves the device until the single result fetch, and the
+        whole column batch is one device program (the TPU answer to the
+        reference's ThreadPool over columns).
+
+        Failure semantics: the tolerance is floored at a multiple of the
+        Jacobian dtype's eps (an f32 Jacobian cannot reach 1e-10), and rank
+        deficiency is reported only on PCG *breakdown* (p'Ap <= 0) — merely
+        exhausting the iteration cap on a well-conditioned-but-slow system
+        does not masquerade as singularity.
         """
         import jax
 
@@ -181,13 +186,17 @@ class Covariance:
 
         cols_wanted = self._wanted_cols(program, covariance_blocks)
         n = program.num_effective_parameters
-        dtype = jac.jac_groups[0][0].dtype if jac.jac_groups else jnp.float64
+        dtype = jac._dtype()
         dsq = jnp.zeros((n,), dtype=dtype)
         prec = BlockDiagSolver(program, jac.block_diag_jtj())
         max_iters = self.options.iterative_max_iterations or n
-        tol = self.options.iterative_tolerance
+        # Floor the requested tolerance at what the Jacobian dtype can
+        # actually deliver (~50 eps relative residual).
+        tol = max(
+            self.options.iterative_tolerance,
+            50.0 * float(jnp.finfo(dtype).eps),
+        )
 
-        @jax.jit
         def solve_col(e):
             r = conjugate_gradients(
                 matvec=lambda v: jac.jtj_multiply(v, dsq),
@@ -196,16 +205,29 @@ class Covariance:
                 max_iterations=max_iters,
                 tolerance=tol,
             )
-            return r.x, r.converged
+            return r.x, r.converged, r.breakdown
 
-        xs = np.zeros((n, len(cols_wanted)))
-        for k, c in enumerate(cols_wanted):
-            e = jnp.zeros((n,), dtype=dtype).at[int(c)].set(1.0)
-            x, converged = solve_col(e)
-            if not bool(converged):
-                return False  # J^T J (numerically) rank deficient
-            xs[:, k] = np.asarray(x)
-        self._cov = _ColumnSubsetMatrix(n, cols_wanted, xs)
+        es = jnp.zeros((len(cols_wanted), n), dtype=dtype)
+        es = es.at[np.arange(len(cols_wanted)), cols_wanted].set(1.0)
+        xs, converged, breakdown = jax.jit(jax.vmap(solve_col))(es)
+        if bool(jnp.any(breakdown)):
+            return False  # J^T J (numerically) rank deficient
+        if not bool(jnp.all(converged)):
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "Covariance ITERATIVE_PCG: %d/%d columns hit the iteration "
+                "cap (%d) before reaching tolerance %.2e; raise "
+                "iterative_max_iterations or loosen iterative_tolerance.",
+                int(jnp.sum(~converged)),
+                len(cols_wanted),
+                max_iters,
+                tol,
+            )
+            return False  # not converged (distinct from breakdown, see log)
+        self._cov = _ColumnSubsetMatrix(
+            n, cols_wanted, np.asarray(xs, dtype=np.float64).T
+        )
         return True
 
     def _tangent_slice(self, block: int):

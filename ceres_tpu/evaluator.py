@@ -33,6 +33,7 @@ from .autodiff import batched_value_and_jacobians, batched_values
 from .corrector import correct_batched
 from .jacobian import BlockJacobian
 from .utils.dtypes import default_dtype
+from .utils.flags import env_flag
 
 
 # ---------------------------------------------------------------------- #
@@ -124,7 +125,7 @@ def _group_eval(
     # kernel variant shipped in round 2 without on-TPU validation and the
     # first full-scale run wedged the TPU worker (BENCH_r02 post-mortem).
     # CERES_TPU_RES_KERNEL=1 opts back in for on-chip A/B validation.
-    use_pallas = with_jacobian or os.environ.get("CERES_TPU_RES_KERNEL", "")
+    use_pallas = with_jacobian or env_flag("CERES_TPU_RES_KERNEL")
     out = None
     if use_pallas:
         out = _group_eval_pallas(

@@ -103,6 +103,109 @@ def _angle_axis_to_matrix(aa: np.ndarray) -> np.ndarray:
     return np.eye(3) + np.sin(theta) * k + (1 - np.cos(theta)) * (k @ k)
 
 
+class BalFileObservations:
+    """File-backed [num_obs, 2] observation payload (io.lazy source).
+
+    Streams the observation section of a BAL text file in bounded chunks
+    and keeps only requested rows — the host-local-loading primitive for
+    multi-host runs (each process gathers just the rows its devices own,
+    so the full payload never exists on one host). I/O is one sequential
+    scan per gather, which happens once at sharded-array construction.
+    """
+
+    def __init__(self, path):
+        self.path = str(path)
+        with open(self.path, "rb") as f:
+            header = f.readline().split()
+            self.num_cameras = int(header[0])
+            self.num_points = int(header[1])
+            self.num_obs = int(header[2])
+            self._obs_start = f.tell()
+        self.shape = (self.num_obs, 2)
+        self.dtype = np.dtype(np.float64)
+
+    def _stream_chunks(self, f, chunk_lines=1 << 19):
+        """Yield (row0, [n,4] float64) chunks of the observation section."""
+        row = 0
+        while row < self.num_obs:
+            n = min(chunk_lines, self.num_obs - row)
+            lines = [f.readline() for _ in range(n)]
+            vals = np.array(b" ".join(lines).split(), dtype=np.float64)
+            yield row, vals.reshape(n, 4)
+            row += n
+
+    def read_indices(self):
+        """(camera_index, point_index) int arrays for the whole file —
+        global metadata every process needs for preprocessing."""
+        cam = np.empty(self.num_obs, dtype=np.int64)
+        pt = np.empty(self.num_obs, dtype=np.int64)
+        with open(self.path, "rb") as f:
+            f.seek(self._obs_start)
+            for row0, chunk in self._stream_chunks(f):
+                cam[row0 : row0 + chunk.shape[0]] = chunk[:, 0].astype(np.int64)
+                pt[row0 : row0 + chunk.shape[0]] = chunk[:, 1].astype(np.int64)
+            self._params_start = f.tell()
+        return cam, pt
+
+    def read_params(self):
+        """(cameras [n,9], points [n,3]) from the file tail (replicated
+        solver state — every process holds the parameters)."""
+        with open(self.path, "rb") as f:
+            start = getattr(self, "_params_start", None)
+            if start is None:
+                f.seek(self._obs_start)
+                for _ in range(self.num_obs):
+                    f.readline()
+            else:
+                f.seek(start)
+            rest = np.array(f.read().split(), dtype=np.float64)
+        nc, npnt = self.num_cameras, self.num_points
+        cameras = rest[: 9 * nc].reshape(nc, 9)
+        points = rest[9 * nc : 9 * nc + 3 * npnt].reshape(npnt, 3)
+        return cameras, points
+
+    def gather(self, rows) -> np.ndarray:
+        rows = np.asarray(rows)
+        out = np.empty((rows.shape[0], 2), dtype=np.float64)
+        if rows.size == 0:
+            return out
+        hi = int(rows.max())
+        with open(self.path, "rb") as f:
+            f.seek(self._obs_start)
+            for row0, chunk in self._stream_chunks(f):
+                r1 = row0 + chunk.shape[0]
+                sel = (rows >= row0) & (rows < r1)
+                if sel.any():
+                    out[sel] = chunk[rows[sel] - row0, 2:4]
+                if r1 > hi:
+                    break
+        return out
+
+
+def load_bal_lazy(path):
+    """Host-local BAL loading for multi-host runs.
+
+    Returns a BalProblem whose `observations` is a LazyRows handle: index
+    columns and parameters are parsed eagerly (global metadata), the float
+    observation payload stays file-backed until
+    parallel.sharding.build_sharded_arrays gathers each process's shard
+    rows. reference: examples/bal_problem.cc constructor (single-host) —
+    this is the capability the reference lacks (SURVEY.md §2d:332-339).
+    """
+    from .lazy import LazyRows
+
+    src = BalFileObservations(path)
+    cam_idx, pt_idx = src.read_indices()
+    cameras, points = src.read_params()
+    return BalProblem(
+        cameras=cameras,
+        points=points,
+        camera_index=cam_idx,
+        point_index=pt_idx,
+        observations=LazyRows(src),
+    )
+
+
 def load_bal(path) -> BalProblem:
     """Parse a BAL text file (examples/bal_problem.cc constructor).
 

@@ -27,6 +27,13 @@ class CGResult(NamedTuple):
     iterations: jnp.ndarray
     final_norm: jnp.ndarray
     converged: jnp.ndarray
+    # True when the iteration stopped on a numerical breakdown (p'Ap <= 0 or
+    # rho == 0 with a non-negligible residual) rather than on the residual /
+    # Q-test / max-iteration criteria — the PCG analog of a failed
+    # factorization, used by Covariance to tell "rank deficient" apart from
+    # "merely ran out of iterations" (reference conjugate_gradients_solver.h
+    # breakdown guards).
+    breakdown: jnp.ndarray
 
 
 # Vector protocol: every CG vector is a pytree (a flat jnp array, or the
@@ -83,11 +90,11 @@ def conjugate_gradients(
     r0 = _tmap(lambda bb, ax: bb - ax, b, matvec(x0))
 
     def cond(state):
-        _x, _r, _rho, _p, _q, it, done = state
+        _x, _r, _rho, _p, _q, it, done, _bd = state
         return jnp.logical_and(it < max_iterations, jnp.logical_not(done))
 
     def body(state):
-        x, r, z_rho, p, q_prev, it, _ = state
+        x, r, z_rho, p, q_prev, it, _, bd = state
         z = prec(r)
         rho_new = _tvdot(r, z)
         first = it == 0
@@ -119,9 +126,21 @@ def conjugate_gradients(
         done_r = jnp.logical_and(
             it_new >= min_iterations, _tnorm(r_new) <= tol_r
         )
-        done_breakdown = jnp.logical_or(pap <= 0, rho_new == 0)
+        done_breakdown = jnp.logical_and(
+            jnp.logical_or(pap <= 0, rho_new == 0),
+            jnp.logical_not(done_r),
+        )
         done = jnp.logical_or(done_q, jnp.logical_or(done_r, done_breakdown))
-        return (x_new, r_new, rho_new, p_new, q_new, it_new, done)
+        return (
+            x_new,
+            r_new,
+            rho_new,
+            p_new,
+            q_new,
+            it_new,
+            done,
+            jnp.logical_or(bd, done_breakdown),
+        )
 
     init = (
         x0,
@@ -131,7 +150,14 @@ def conjugate_gradients(
         jnp.asarray(0.0, dtype),
         jnp.asarray(0, jnp.int32),
         _tnorm(r0) <= tol_r,
+        jnp.asarray(False),
     )
-    x, r, _, _, _, it, _ = jax.lax.while_loop(cond, body, init)
+    x, r, _, _, _, it, _, bd = jax.lax.while_loop(cond, body, init)
     final_norm = _tnorm(r)
-    return CGResult(x=x, iterations=it, final_norm=final_norm, converged=final_norm <= tol_r)
+    return CGResult(
+        x=x,
+        iterations=it,
+        final_norm=final_norm,
+        converged=final_norm <= tol_r,
+        breakdown=bd,
+    )

@@ -41,52 +41,130 @@ def _pad_rows(a: np.ndarray, target: int, pad_value=0):
     return np.concatenate([a, pad], axis=0)
 
 
+def _materialize_rows(a, rows):
+    """Gather `rows` of a data leaf; supports ndarray and io.lazy.LazyRows
+    (the file-backed handle that lets a multi-host run avoid ever holding
+    the full observation payload on one process)."""
+    from ..io.lazy import LazyRows
+
+    if isinstance(a, LazyRows):
+        return a.gather(rows)
+    return np.asarray(a)[rows]
+
+
+def _leaf_shape_dtype(a):
+    from ..io.lazy import LazyRows
+
+    if isinstance(a, LazyRows):
+        return a.shape, a.dtype
+    a = np.asarray(a)
+    return a.shape, a.dtype
+
+
+def put_global(mesh: Mesh, spec, leaf_fn, global_shape, dtype):
+    """Assemble a global jax.Array for `spec` over `mesh` from per-device
+    numpy shards produced by `leaf_fn(index_tuple)`.
+
+    Single-process: one device_put of the full array (leaf_fn(None)).
+    Multi-process (jax.process_count() > 1): each process materializes ONLY
+    the row blocks its addressable devices own and the global array is
+    stitched with jax.make_array_from_single_device_arrays — no process
+    ever holds or transfers the whole leaf. This is the TPU-native answer
+    to the reference's single-GPU bulk upload (registered_cuda_evaluators
+    .cc:239-272) at multi-host scale (SURVEY.md §2d:332-339).
+    """
+    sh = NamedSharding(mesh, spec)
+    if jax.process_count() == 1:
+        return jax.device_put(np.asarray(leaf_fn(None), dtype=dtype), sh)
+    imap = sh.addressable_devices_indices_map(tuple(global_shape))
+    cache: dict = {}
+    shards = []
+    for d, idx in imap.items():
+        key = tuple(
+            (s.start, s.stop, s.step) if isinstance(s, slice) else s
+            for s in (idx or ())
+        )
+        if key not in cache:
+            cache[key] = np.asarray(leaf_fn(idx), dtype=dtype)
+        shards.append(jax.device_put(cache[key], d))
+    return jax.make_array_from_single_device_arrays(
+        tuple(global_shape), sh, shards
+    )
+
+
 def build_sharded_arrays(program, mesh: Mesh, axis: str, dtype=None):
     """Lay out each group's tensors in the shard-aware lane order (see
     Program.build_shard_layout): shard-major lanes, each shard's slice in
     its own interleaved bucket order so the scatter-free reduction plans
-    survive sharding; masked pad lanes fill the per-shard remainders."""
+    survive sharding; masked pad lanes fill the per-shard remainders.
+
+    Multi-process aware: every leaf is constructed through put_global, so
+    under jax.distributed each process builds only the shards its local
+    devices own (per-process shard construction — the multi-host half of
+    BASELINE config 5)."""
     dtype = dtype or default_dtype()
     ndev = mesh.shape[axis]
     num_eff = program.num_effective_parameters
     layouts = program.build_shard_layout(ndev)
 
+    def put(spec, leaf_fn, shape, leaf_dtype):
+        return put_global(mesh, spec, leaf_fn, shape, leaf_dtype)
+
+    def put_rep(a, leaf_dtype=None):
+        a = np.asarray(a)
+        return put(P(), lambda idx: a, a.shape, leaf_dtype or a.dtype)
+
     groups = []
     for gi, (meta, idx) in enumerate(zip(program.groups, program.group_idx)):
         lay = layouts[gi]
         perm = lay["perm"]
-        valid = perm >= 0
-        src = perm[valid]
+        L = perm.size
 
-        def take_perm(a, fill):
-            a = np.asarray(a)
-            out = np.full((perm.size,) + a.shape[1:], fill, dtype=a.dtype)
-            out[valid] = a[src]
+        def take_perm(a, fill, region, tail_shape, a_dtype):
+            """Rows `region` (an index tuple from the sharding, or None =
+            all) of the permuted+padded leaf, materializing only the
+            source rows that land in the region."""
+            p = perm if region is None else perm[region[0]]
+            valid = p >= 0
+            out = np.full((p.size,) + tail_shape, fill, dtype=a_dtype)
+            out[valid] = _materialize_rows(a, p[valid])
             return out
+
+        def put_row_leaf(a, fill, cast=None):
+            shape, a_dtype = _leaf_shape_dtype(a)
+            tail = shape[1:]
+            if cast is not None and np.issubdtype(a_dtype, np.floating):
+                out_dtype = cast
+            else:
+                out_dtype = a_dtype
+            row_spec = P(*((axis,) + (None,) * len(tail)))
+            return put(
+                row_spec,
+                lambda region: take_perm(a, fill, region, tail, a_dtype),
+                (L,) + tail,
+                out_dtype,
+            )
 
         t_rows_padded = []
         for pos, pm in enumerate(meta.positions):
             dump = (
                 program.tangent_class_counts[pm.t_cls] if pm.t_cls >= 0 else 0
             )
-            t_rows_padded.append(
-                jnp.asarray(take_perm(idx["t_rows"][pos], dump))
-            )
+            t_rows_padded.append(put_row_leaf(idx["t_rows"][pos], dump))
         g = {
-            "a_rows": tuple(
-                jnp.asarray(take_perm(a, 0)) for a in idx["a_rows"]
-            ),
+            "a_rows": tuple(put_row_leaf(a, 0) for a in idx["a_rows"]),
             "t_rows": tuple(t_rows_padded),
             "data": tuple(
-                jnp.asarray(
-                    take_perm(d, 0),
-                    dtype=dtype
-                    if np.issubdtype(np.asarray(d).dtype, np.floating)
-                    else None,
-                )
-                for d in idx["data"]
+                put_row_leaf(d, 0, cast=dtype) for d in idx["data"]
             ),
-            "mask": jnp.asarray(valid.astype(np.float64), dtype=dtype),
+            "mask": put(
+                P(axis),
+                lambda region: (
+                    (perm if region is None else perm[region[0]]) >= 0
+                ).astype(dtype),
+                (L,),
+                dtype,
+            ),
         }
         groups.append(g)
         # publish the shard-local plans for BlockJacobian.plan()
@@ -101,25 +179,22 @@ def build_sharded_arrays(program, mesh: Mesh, axis: str, dtype=None):
     arrays = {
         "groups": groups,
         "plus_euclid": [
-            None if rec is None else {"t_row_map": jnp.asarray(rec["t_row_map"])}
+            None
+            if rec is None
+            else {"t_row_map": put_rep(rec["t_row_map"])}
             for rec in program.plus_euclid
         ],
         "manifold_groups": [
-            {"a_rows": jnp.asarray(g["a_rows"]), "t_rows": jnp.asarray(g["t_rows"])}
+            {"a_rows": put_rep(g["a_rows"]), "t_rows": put_rep(g["t_rows"])}
             for g in program.manifold_group_idx
         ],
     }
     if program.has_bounds:
-        arrays["lower_bound"] = jnp.asarray(program.lower_bound, dtype=dtype)
-        arrays["upper_bound"] = jnp.asarray(program.upper_bound, dtype=dtype)
+        arrays["lower_bound"] = put_rep(program.lower_bound, dtype)
+        arrays["upper_bound"] = put_rep(program.upper_bound, dtype)
 
     specs = arrays_pspecs(program, arrays, axis)
-    sharded = jax.tree.map(
-        lambda leaf, spec: jax.device_put(leaf, NamedSharding(mesh, spec)),
-        arrays,
-        specs,
-    )
-    return sharded, specs
+    return arrays, specs
 
 
 def arrays_pspecs(program, arrays, axis: str):

@@ -419,7 +419,8 @@ class Problem:
             raise ValueError("param_ids must be [n, k]")
         n = pid.shape[0]
         for d in data:
-            if np.asarray(d).shape[0] != n:
+            d_n = d.shape[0] if hasattr(d, "gather") else np.asarray(d).shape[0]
+            if d_n != n:
                 raise ValueError("data arrays must have leading dim n")
         if n and (pid.min() < 0 or pid.max() >= len(self._blocks)):
             bad = pid.reshape(-1)[
@@ -436,7 +437,9 @@ class Problem:
             cost_function=cost_function,
             loss=loss,
             param_ids=pid,
-            data=tuple(np.asarray(d) for d in data),
+            data=tuple(
+                d if hasattr(d, "gather") else np.asarray(d) for d in data
+            ),
             first_handle=self._next_residual_handle,
             alive=np.ones(n, dtype=bool),
         )

@@ -31,6 +31,16 @@ from typing import Optional
 import numpy as np
 
 from .autodiff import CostFunction
+from .utils.flags import env_flag
+
+def _data_shape_dtype(d):
+    """(trailing shape, dtype str) of a residual-data leaf without
+    materializing it (io.lazy.LazyRows exposes shape/dtype directly)."""
+    if hasattr(d, "gather") and hasattr(d, "shape"):
+        return (tuple(d.shape[1:]), np.dtype(d.dtype).str)
+    a = np.asarray(d)
+    return (a.shape[1:], a.dtype.str)
+
 from .loss import LossFunction
 from .manifolds import EuclideanManifold, Manifold
 
@@ -463,9 +473,7 @@ class Program:
             else self._blocks[b].manifold
             for b in batch.param_ids[0]
         )
-        data_sig = tuple(
-            (np.asarray(d).shape[1:], np.asarray(d).dtype.str) for d in batch.data
-        )
+        data_sig = tuple(_data_shape_dtype(d) for d in batch.data)
         return (cf.fn, cf.num_residuals, batch.loss, sizes, manifolds, data_sig)
 
     def _build_groups(self):
@@ -515,11 +523,17 @@ class Program:
             def _take(arr, rows):
                 return arr if rows is None else arr[rows]
 
+            def _take_data(d, rows):
+                # LazyRows: keep lazy (rows=None is identity); ndarray: copy
+                if hasattr(d, "gather"):
+                    return d if rows is None else d[rows]
+                return _take(np.asarray(d), rows)
+
             if len(members) == 1:
                 bi, rows = members[0]
                 pid = _take(self._batches[bi].param_ids, rows)
                 data = tuple(
-                    _take(np.asarray(d), rows) for d in self._batches[bi].data
+                    _take_data(d, rows) for d in self._batches[bi].data
                 )
             else:
                 pid = np.concatenate(
@@ -528,7 +542,9 @@ class Program:
                 data = tuple(
                     np.concatenate(
                         [
-                            _take(np.asarray(self._batches[bi].data[di]), rows)
+                            np.asarray(
+                                _take_data(self._batches[bi].data[di], rows)
+                            )
                             for bi, rows in members
                         ]
                     )
@@ -612,7 +628,7 @@ class Program:
                     # XLA-CPU materializes it — [5M, 1779] f64 is 71 GB —
                     # so CPU-bound full-scale runs (e.g. the precision
                     # gate's f64 reference) disable it via env.
-                    if cnt + 1 <= self.ONEHOT_MAX_COLS and not os.environ.get(
+                    if cnt + 1 <= self.ONEHOT_MAX_COLS and not env_flag(
                         "CERES_TPU_NO_ONEHOT"
                     ):
                         plans[pos] = ("onehot",)
@@ -797,9 +813,7 @@ class Program:
             else self._blocks[b].manifold
             for b in batch.param_ids[row]
         )
-        data_sig = tuple(
-            (np.asarray(d).shape[1:], np.asarray(d).dtype.str) for d in batch.data
-        )
+        data_sig = tuple(_data_shape_dtype(d) for d in batch.data)
         return (cf.fn, cf.num_residuals, batch.loss, sizes, manifolds, data_sig)
 
     # ------------------------------------------------------------------ #
@@ -945,9 +959,12 @@ class Program:
                 "a_rows": tuple(jnp.asarray(a) for a in idx["a_rows"]),
                 "t_rows": tuple(jnp.asarray(t) for t in idx["t_rows"]),
                 "data": tuple(
-                    jnp.asarray(d, dtype=dtype)
-                    if np.issubdtype(np.asarray(d).dtype, np.floating)
-                    else jnp.asarray(d)
+                    jnp.asarray(
+                        np.asarray(d),
+                        dtype=dtype
+                        if np.issubdtype(np.dtype(_data_shape_dtype(d)[1]), np.floating)
+                        else None,
+                    )
                     for d in idx["data"]
                 ),
             }

@@ -459,6 +459,7 @@ def run_fused(minimizer, state, summary):
     jac_children = (jac.jac_groups, jac.t_rows, jac.col_scale)
     res = tuple(res_groups)
     cost_dev = c0
+    cost_host = float(cost)
 
     iters_done = 0
     term_code = _CONTINUE
@@ -466,7 +467,7 @@ def run_fused(minimizer, state, summary):
         if time.time() - start > options.max_solver_time_in_seconds:
             summary.termination_type = TerminationType.NO_CONVERGENCE
             summary.message = "Maximum solver time reached."
-            summary.final_cost = float(cost_dev) + summary.fixed_cost
+            summary.final_cost = cost_host + summary.fixed_cost
             return np.asarray(state)
         limit = min(chunk_iters(options), options.max_num_iterations - iters_done)
         t_chunk = time.time()
@@ -549,5 +550,5 @@ def run_fused(minimizer, state, summary):
     else:
         summary.termination_type = TerminationType.NO_CONVERGENCE
         summary.message = "Maximum number of iterations reached."
-    summary.final_cost = float(cost_dev) + summary.fixed_cost
+    summary.final_cost = cost_host + summary.fixed_cost
     return np.asarray(state)

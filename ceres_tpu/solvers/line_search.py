@@ -75,20 +75,54 @@ class _LBFGSMemory:
         return q
 
 
-def _interpolate_step(a_lo, f_lo, g_lo, a_hi, f_hi, interpolation: str):
-    """Quadratic/cubic minimizer of the interpolant on [lo, hi]
-    (polynomial.cc MinimizeInterpolatingPolynomial, simplified)."""
+def _interpolate_step(
+    a_lo,
+    f_lo,
+    g_lo,
+    a_hi,
+    f_hi,
+    interpolation: str,
+    g_hi=None,
+    extra_sample=None,
+):
+    """Minimizer of the true interpolating polynomial on [lo, hi].
+
+    reference: line_search.cc:415-470
+    (InterpolatingPolynomialMinimizingStepSize) +
+    polynomial.cc MinimizeInterpolatingPolynomial. BISECTION takes the
+    midpoint; QUADRATIC fits phi(a_lo), phi'(a_lo), phi(a_hi); CUBIC adds
+    phi'(a_hi) when available (or a third sample, for the Armijo search
+    that has no gradient at trial points), degrading to the quadratic fit
+    otherwise. The candidate is kept strictly inside the bracket (5% end
+    margin) so the search always shrinks it.
+    """
+    from .polynomial import FunctionSample, minimize_interpolating_polynomial
+
     if interpolation == "BISECTION" or not np.isfinite(f_hi):
         return 0.5 * (a_lo + a_hi)
-    # quadratic through (a_lo, f_lo, g_lo) and (a_hi, f_hi)
-    d = a_hi - a_lo
-    denom = 2.0 * (f_hi - f_lo - g_lo * d)
-    if abs(denom) < 1e-30:
-        return 0.5 * (a_lo + a_hi)
-    a = a_lo - g_lo * d * d / denom
+    samples = [FunctionSample.with_gradient(a_lo, f_lo, g_lo)]
+    if (
+        interpolation == "CUBIC"
+        and g_hi is not None
+        and np.isfinite(g_hi)
+    ):
+        samples.append(FunctionSample.with_gradient(a_hi, f_hi, g_hi))
+    else:
+        samples.append(FunctionSample.valued(a_hi, f_hi))
+        if (
+            interpolation == "CUBIC"
+            and extra_sample is not None
+            and np.isfinite(extra_sample[1])
+        ):
+            samples.append(
+                FunctionSample.valued(extra_sample[0], extra_sample[1])
+            )
     lo, hi = min(a_lo, a_hi), max(a_lo, a_hi)
     span = hi - lo
-    return float(np.clip(a, lo + 0.05 * span, hi - 0.05 * span))
+    x, _ = minimize_interpolating_polynomial(
+        samples, lo + 0.05 * span, hi - 0.05 * span
+    )
+    return float(x)
 
 
 class LineSearchDriver:
@@ -127,18 +161,24 @@ class LineSearchDriver:
 
         if opts.line_search_type == LineSearchType.ARMIJO:
             alpha = initial_step
-            f_prev = None
+            prev_trial = None  # (alpha, f) of the previous trial; gives the
+            # CUBIC fit its 4th constraint (line_search.cc:440-452 uses the
+            # previous sample when the current one has no gradient).
             for _ in range(opts.max_num_line_search_step_size_iterations):
                 f, x = self._phi(state, direction, alpha, summary)
                 if np.isfinite(f) and f <= cost + c1 * alpha * dphi0:
                     return alpha, x, f, None
-                new_alpha = _interpolate_step(0.0, cost, dphi0, alpha, f, interpolation)
+                new_alpha = _interpolate_step(
+                    0.0, cost, dphi0, alpha, f, interpolation,
+                    extra_sample=prev_trial,
+                )
                 new_alpha = max(
                     new_alpha, alpha * opts.max_line_search_step_contraction
                 )
                 new_alpha = min(
                     new_alpha, alpha * opts.min_line_search_step_contraction
                 )
+                prev_trial = (alpha, f) if np.isfinite(f) else None
                 alpha = new_alpha
                 if alpha < opts.min_line_search_step_size:
                     break
@@ -147,7 +187,7 @@ class LineSearchDriver:
         # WOLFE (strong): bracketing + zoom (Nocedal & Wright alg. 3.5/3.6,
         # the same structure as line_search.cc WolfeLineSearch).
         c2 = opts.line_search_sufficient_curvature_decrease
-        alpha_prev, f_prev = 0.0, cost
+        alpha_prev, f_prev, dphi_prev = 0.0, cost, dphi0
         alpha = initial_step
         max_expansion = opts.max_line_search_step_expansion
         lo = hi = None
@@ -156,34 +196,36 @@ class LineSearchDriver:
             if (not np.isfinite(f)) or f > cost + c1 * alpha * dphi0 or (
                 it > 0 and f >= f_prev
             ):
-                lo, f_lo, hi, f_hi = alpha_prev, f_prev, alpha, f
+                lo, f_lo, dphi_lo = alpha_prev, f_prev, dphi_prev
+                hi, f_hi, dphi_hi = alpha, f, dphi
                 break
             if abs(dphi) <= -c2 * dphi0:
                 return alpha, x, f, g
             if dphi >= 0:
-                lo, f_lo, hi, f_hi = alpha, f, alpha_prev, f_prev
+                lo, f_lo, dphi_lo = alpha, f, dphi
+                hi, f_hi, dphi_hi = alpha_prev, f_prev, dphi_prev
                 break
-            alpha_prev, f_prev = alpha, f
+            alpha_prev, f_prev, dphi_prev = alpha, f, dphi
             alpha = min(alpha * 2.0, alpha * max_expansion)
         else:
             return None, None, None, None
 
-        # zoom
-        dphi_lo = dphi0 if lo == 0.0 else None
+        # zoom; both bracket ends carry (value, gradient) so the CUBIC fit
+        # is the true two-point Hermite cubic (line_search.cc:415-470).
         for _ in range(opts.max_num_line_search_step_size_iterations):
-            if dphi_lo is None:
-                _, dphi_lo, _, _ = self._phi_grad(state, direction, lo, summary)
-            alpha = _interpolate_step(lo, f_lo, dphi_lo, hi, f_hi, interpolation)
+            alpha = _interpolate_step(
+                lo, f_lo, dphi_lo, hi, f_hi, interpolation, g_hi=dphi_hi
+            )
             if abs(hi - lo) < opts.min_line_search_step_size:
                 break
             f, dphi, x, g = self._phi_grad(state, direction, alpha, summary)
             if (not np.isfinite(f)) or f > cost + c1 * alpha * dphi0 or f >= f_lo:
-                hi, f_hi = alpha, f
+                hi, f_hi, dphi_hi = alpha, f, dphi
             else:
                 if abs(dphi) <= -c2 * dphi0:
                     return alpha, x, f, g
                 if dphi * (hi - lo) >= 0:
-                    hi, f_hi = lo, f_lo
+                    hi, f_hi, dphi_hi = lo, f_lo, dphi_lo
                 lo, f_lo, dphi_lo = alpha, f, dphi
         return None, None, None, None
 
@@ -214,6 +256,7 @@ class LineSearchDriver:
         )
         prev_grad = None
         prev_direction = None
+        prev_cost = None
         num_restarts = 0
 
         grad_max = float(jnp.max(jnp.abs(grad)))
@@ -280,18 +323,26 @@ class LineSearchDriver:
                 if bfgs_h is not None:
                     bfgs_h = jnp.eye(self.num_tangent, dtype=grad.dtype)
                 prev_grad = None
+                prev_cost = None  # restart -> first-iteration step policy
                 direction = -grad
                 dphi0 = float(jnp.vdot(grad, direction))
 
-            # initial step (line_search_minimizer.cc: 1 for quasi-Newton,
-            # scaled for gradient methods)
-            if direction_type in (
-                LineSearchDirectionType.LBFGS,
-                LineSearchDirectionType.BFGS,
-            ) and (lbfgs is None or lbfgs.s_list):
-                initial_step = 1.0
+            # initial step (line_search_minimizer.cc:297-302): gradient-
+            # scaled on the first iteration / after a restart, otherwise the
+            # quadratic-model estimate from the previous cost decrease —
+            # 2 (f_k - f_{k-1}) / phi'(0), which tends to 1 for Newton-like
+            # directions and keeps the first Wolfe bracket near the
+            # eventual step for gradient-based directions.
+            if iteration == 1 or prev_cost is None:
+                initial_step = min(
+                    1.0, 1.0 / max(float(jnp.max(jnp.abs(grad))), 1e-12)
+                )
             else:
-                initial_step = min(1.0, 1.0 / max(float(jnp.max(jnp.abs(grad))), 1e-12))
+                initial_step = min(1.0, 2.0 * (cost - prev_cost) / dphi0)
+                if not np.isfinite(initial_step) or initial_step <= 0.0:
+                    initial_step = min(
+                        1.0, 1.0 / max(float(jnp.max(jnp.abs(grad))), 1e-12)
+                    )
 
             result = self.search(state, direction, cost, dphi0, initial_step, summary)
             alpha, new_state, new_cost, new_grad = result
@@ -320,6 +371,7 @@ class LineSearchDriver:
 
             prev_grad = grad
             prev_direction = direction
+            prev_cost = cost
             state, cost, grad = new_state, new_cost, new_grad
             summary.num_successful_steps += 1
             summary.num_line_search_steps += 1
