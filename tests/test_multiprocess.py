@@ -1,0 +1,106 @@
+"""Multi-host (2-process) parity test, CPU emulation.
+
+SURVEY.md §4:537-539: "Multi-host tests can run on a single host with
+jax.distributed multi-process CPU/TPU emulation — a capability the
+reference never needed." Two worker processes x 4 virtual CPU devices each
+join one jax.distributed runtime, load the SAME BAL file host-locally
+(lazy payload), and run the sharded fused ITERATIVE_SCHUR solve over the
+global 8-device mesh; the result must match a single-process solve of the
+identical problem (BASELINE config-5 mechanics at test scale).
+
+reference analog: none (single-process library); the differential-parity
+structure mirrors evaluator_cuda_test.cu.cc's CPU-vs-GPU comparisons.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def _write_bal(path, bal):
+    with open(path, "w") as f:
+        f.write(
+            f"{bal.num_cameras} {bal.num_points} {bal.num_observations}\n"
+        )
+        for c, p, (u, v) in zip(
+            bal.camera_index, bal.point_index, bal.observations
+        ):
+            f.write(f"{c} {p} {u:.17g} {v:.17g}\n")
+        for cam in bal.cameras:
+            f.write("\n".join(f"{x:.17g}" for x in cam) + "\n")
+        for pt in bal.points:
+            f.write("\n".join(f"{x:.17g}" for x in pt) + "\n")
+
+
+def test_two_process_solve_matches_single_process(tmp_path):
+    from ceres_tpu.io.bal import synthetic_bal
+
+    bal = synthetic_bal(10, 120, 501, seed=7)  # not divisible by 8 lanes
+    bal_path = tmp_path / "problem.txt"
+    _write_bal(bal_path, bal)
+    out_path = tmp_path / "result.npz"
+    port = _free_port()
+
+    worker = os.path.join(os.path.dirname(__file__), "mp_worker.py")
+    env = dict(os.environ)
+    # workers configure their own platform/device count; drop any
+    # conftest-inherited flags so they start clean
+    env.pop("XLA_FLAGS", None)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(i), "2", str(port),
+             str(bal_path), str(out_path)],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+            env=env,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=840)
+        outs.append(out)
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {i} failed:\n{out}"
+    assert out_path.exists(), f"no result written:\n{outs[0]}"
+    mp = np.load(out_path)
+
+    # single-process reference solve of the identical problem (the test
+    # session's own 8-virtual-device CPU platform, unsharded path)
+    import ceres_tpu
+    from ceres_tpu import LinearSolverType, PreconditionerType, SolverOptions
+    from ceres_tpu.io.bal import build_ba_problem, load_bal
+
+    problem, cam_ids, _ = build_ba_problem(load_bal(bal_path))
+    summary = ceres_tpu.solve(
+        SolverOptions(
+            linear_solver_type=LinearSolverType.ITERATIVE_SCHUR,
+            preconditioner_type=PreconditionerType.SCHUR_JACOBI,
+            max_num_iterations=8,
+        ),
+        problem,
+    )
+
+    np.testing.assert_allclose(
+        mp["initial_cost"], summary.initial_cost, rtol=1e-10
+    )
+    np.testing.assert_allclose(
+        mp["final_cost"], summary.final_cost, rtol=1e-6
+    )
+    cams = np.stack(
+        [np.asarray(problem.parameter_block_value(h)) for h in cam_ids]
+    )
+    np.testing.assert_allclose(mp["cameras"], cams, rtol=1e-5, atol=1e-8)
