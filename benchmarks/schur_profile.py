@@ -1,8 +1,10 @@
-"""Component-level profile of the implicit-Schur PCG matvec (tvec form).
+"""Component-level profile of the implicit-Schur PCG iteration (tvec form).
 
-Times each piece of S·y at BAL-1778 scale on the current backend to locate
-where the per-PCG-iteration time goes (VERDICT r3: 19.2 ms measured vs a
-~2 ms HBM bound). One JSON line per timing.
+The ~25 ms host-sync relay floor on this platform swamps single-dispatch
+timings, so every measurement chains the operation x20 inside one
+lax.fori_loop and reports ms/20 — the same regime as the real fused-loop
+PCG (a lax.while_loop). Variants isolate the camera-side (one-hot matmul)
+and point-side (bucket slice/reduce) halves of S·y.
 """
 
 import argparse
@@ -24,48 +26,65 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+LOOP = 20
 
-def timed(name, fn, *args, reps=10, **meta):
+
+def timed_loop(name, step_fn, init, *args, reps=5, **meta):
+    """Time LOOP chained applications of step_fn inside one fori_loop.
+
+    step_fn(v, *args) -> v-like pytree; normalized per iteration so values
+    stay finite. Reports ms per single application.
+    """
+
     @jax.jit
-    def cs(*a):
-        out = fn(*a)
-        s = jnp.zeros((), jnp.float32)
-        for leaf in jax.tree_util.tree_leaves(out):
-            if hasattr(leaf, "dtype") and jnp.issubdtype(
-                leaf.dtype, jnp.floating
-            ):
-                s = s + jnp.sum(leaf.astype(jnp.float32))
-        return s, out
+    def run(v, *a):
+        def body(i, v):
+            out = step_fn(v, *a)
+            nrm = sum(
+                jnp.sum(o.astype(jnp.float32) ** 2)
+                for o in jax.tree_util.tree_leaves(out)
+            )
+            scale = jax.lax.rsqrt(nrm + 1e-30)
+            return jax.tree_util.tree_map(
+                lambda o: (o.astype(jnp.float32) * scale).astype(o.dtype), out
+            )
 
-    out = cs(*args)
-    float(out[0])  # compile + warmup
-    # depth-2 pipeline hiding the relay round trip
+        out = jax.lax.fori_loop(0, LOOP, body, v)
+        s = sum(
+            jnp.sum(o.astype(jnp.float32))
+            for o in jax.tree_util.tree_leaves(out)
+        )
+        return s
+
+    float(run(init, *args))  # compile + warmup
     t0 = time.perf_counter()
-    prev = cs(*args)
-    for _ in range(reps - 1):
-        cur = cs(*args)
-        float(prev[0])
-        prev = cur
-    float(prev[0])
+    for _ in range(reps):
+        float(run(init, *args))
     dt = (time.perf_counter() - t0) / reps
+    per_iter_ms = dt / LOOP * 1000
     print(
-        json.dumps({"benchmark": name, "ms": round(dt * 1000, 2), **meta}),
+        json.dumps(
+            {"benchmark": name, "ms_per_apply": round(per_iter_ms, 2), **meta}
+        ),
         flush=True,
     )
-    return out[1]
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--scale", type=float, default=1.0)
-    ap.add_argument("--reps", type=int, default=10)
+    ap.add_argument("--reps", type=int, default=5)
     args = ap.parse_args()
 
     from ceres_tpu import HuberLoss
     from ceres_tpu.evaluator import Evaluator
     from ceres_tpu.io.bal import build_ba_problem, synthetic_bal
     from ceres_tpu.linalg.preconditioners import BlockDiagSolver
-    from ceres_tpu.linalg.schur import make_ete_solver, schur_views
+    from ceres_tpu.linalg.schur import (
+        make_ete_solver,
+        schur_jacobi_blocks,
+        schur_views,
+    )
 
     n_cam = max(4, int(1778 * args.scale))
     n_pt = max(32, int(993_923 * args.scale))
@@ -93,9 +112,12 @@ def main():
     def setup(jac):
         jac_e, jac_f = schur_views(program, jac)
         ete = make_ete_solver(program, jac_e, dsq_e)
-        return dict(ete.inv_tables)
+        blocks = schur_jacobi_blocks(program, jac_e, jac_f, ete, dsq_f)
+        prec_tables = dict(BlockDiagSolver(program, blocks).inv_tables)
+        dsq_f_tv = jac.tvec(dsq_f)
+        return dict(ete.inv_tables), prec_tables, dsq_f_tv
 
-    ete_tables = setup(jac)
+    ete_tables, prec_tables, dsq_f_tv = setup(jac)
 
     y = jnp.asarray(
         np.random.default_rng(0).normal(
@@ -103,79 +125,80 @@ def main():
         ),
         jnp.float32,
     ) * jnp.asarray(f_np, jnp.float32)
+    y_tv = jax.jit(lambda j, v: j.tvec(v))(jac, y)
 
-    @jax.jit
-    def to_tvec(jac, y):
-        return jac.tvec(y)
+    def views(jac):
+        return schur_views(program, jac)
 
-    y_tv = to_tvec(jac, y)
-
-    def fm(jac):
-        return schur_views(program, jac)[1]
-
-    def em(jac):
-        return schur_views(program, jac)[0]
-
-    # --- components -----------------------------------------------------
-    t1 = timed(
-        "F_right_multiply_t", lambda j, v: fm(j).right_multiply_t(v),
-        jac, y_tv, reps=args.reps,
-    )
-    timed(
-        "E_left_multiply_t", lambda j, u: em(j).left_multiply_t(list(u)),
-        jac, tuple(t1), reps=args.reps,
-    )
-
-    @jax.jit
-    def ete_apply(tables, tv):
-        ete = BlockDiagSolver.from_inverse_tables(program, tables)
-        return ete.apply_t(tv)
-
-    e_tv = jax.jit(lambda j, u: em(j).left_multiply_t(list(u)))(jac, tuple(t1))
-    t2 = timed("ete_apply_t", ete_apply, ete_tables, e_tv, reps=args.reps)
-    et2 = timed(
-        "E_right_multiply_t", lambda j, v: em(j).right_multiply_t(v),
-        jac, t2, reps=args.reps,
-    )
-    timed(
-        "F_left_multiply_t", lambda j, u: fm(j).left_multiply_t(list(u)),
-        jac, tuple(t1), reps=args.reps,
-    )
-
-    # --- full S.y -------------------------------------------------------
-    def s_apply(jac, y_tv, ete_tables):
-        jac_e, jac_f = schur_views(program, jac)
+    # ---- realistic PCG-iteration bodies (dsq_f_tv precomputed) ---------
+    def s_apply(v_tv, jac, ete_tables, dsq_f_tv):
+        jac_e, jac_f = views(jac)
         ete = BlockDiagSolver.from_inverse_tables(program, ete_tables)
-        t1 = jac_f.right_multiply_t(y_tv)
+        t1 = jac_f.right_multiply_t(v_tv)
         t2 = ete.apply_t(jac_e.left_multiply_t(t1))
         et2 = jac_e.right_multiply_t(t2)
         diff = [a - b for a, b in zip(t1, et2)]
         out = jac_f.left_multiply_t(diff)
-        dsq_f_tv = jac.tvec(dsq_f)
-        return [o + d * v for o, d, v in zip(out, dsq_f_tv, y_tv)]
+        return [o + d * v for o, d, v in zip(out, dsq_f_tv, v_tv)]
 
-    timed("S_apply_full", s_apply, jac, y_tv, ete_tables, reps=args.reps)
+    def pcg_body(v_tv, jac, ete_tables, prec_tables, dsq_f_tv):
+        prec = BlockDiagSolver.from_inverse_tables(program, prec_tables)
+        sy = s_apply(v_tv, jac, ete_tables, dsq_f_tv)
+        z = prec.apply_t(sy)
+        # representative CG vector algebra: 2 dots + 2 axpys
+        rho = sum(jnp.sum(a * b) for a, b in zip(sy, z))
+        pap = sum(jnp.sum(a * a) for a in z)
+        alpha = rho / (pap + 1e-30)
+        return [v + alpha * zz for v, zz in zip(v_tv, z)]
 
-    # bf16 variant
-    @jax.jit
-    def to_bf16(jac):
-        return jac.astype(jnp.bfloat16)
+    timed_loop(
+        "pcg_body", pcg_body, y_tv, jac, ete_tables, prec_tables, dsq_f_tv,
+        reps=args.reps,
+    )
+    timed_loop(
+        "s_apply", s_apply, y_tv, jac, ete_tables, dsq_f_tv, reps=args.reps
+    )
 
-    jac16 = to_bf16(jac)
-    timed("S_apply_full_bf16", s_apply, jac16, y_tv, ete_tables, reps=args.reps)
+    # camera half only: F y then F^T (F y)
+    def cam_half(v_tv, jac):
+        _, jac_f = views(jac)
+        t1 = jac_f.right_multiply_t(v_tv)
+        return jac_f.left_multiply_t(t1)
 
-    # 20 chained S.y in one dispatch (amortize dispatch/relay):
-    def s_apply_20(jac, y_tv, ete_tables):
-        def body(i, v):
-            out = s_apply(jac, v, ete_tables)
-            # normalize so values stay finite
-            nrm = sum(jnp.sum(o * o) for o in out)
-            return [o * jax.lax.rsqrt(nrm + 1e-30) for o in out]
+    timed_loop("cam_F_then_Ft", cam_half, y_tv, jac, reps=args.reps)
 
-        return jax.lax.fori_loop(0, 20, body, y_tv)
+    # point half only: treat t1 as given residual groups; E^T u, ete, E t2
+    def pt_half(u_groups, jac, ete_tables):
+        jac_e, _ = views(jac)
+        ete = BlockDiagSolver.from_inverse_tables(program, ete_tables)
+        t2 = ete.apply_t(jac_e.left_multiply_t(list(u_groups)))
+        return tuple(jac_e.right_multiply_t(t2))
 
-    timed("S_apply_x20_fori", s_apply_20, jac, y_tv, ete_tables, reps=3,
-          note="per-iter = ms/20")
+    t1_init = tuple(jax.jit(
+        lambda j, v: views(j)[1].right_multiply_t(v)
+    )(jac, y_tv))
+    timed_loop("pt_Et_ete_E", pt_half, t1_init, jac, ete_tables, reps=args.reps)
+
+    # preconditioner apply only
+    def prec_only(v_tv, prec_tables):
+        prec = BlockDiagSolver.from_inverse_tables(program, prec_tables)
+        return prec.apply_t(v_tv)
+
+    timed_loop("prec_apply_t", prec_only, y_tv, prec_tables, reps=args.reps)
+
+    # CG vector algebra only (dots + axpys at tvec shapes)
+    def algebra_only(v_tv):
+        rho = sum(jnp.sum(a * a) for a in v_tv)
+        return [v * (1.0 + 1e-9 * rho) for v in v_tv]
+
+    timed_loop("tvec_algebra", algebra_only, y_tv, reps=args.reps)
+
+    # bf16 variant of the full body
+    jac16 = jax.jit(lambda j: j.astype(jnp.bfloat16))(jac)
+    timed_loop(
+        "pcg_body_bf16", pcg_body, y_tv, jac16, ete_tables, prec_tables,
+        dsq_f_tv, reps=args.reps,
+    )
 
 
 if __name__ == "__main__":

@@ -13,8 +13,10 @@ the conditional Jacobian re-evaluation — into ONE device program driven by
 chunk and replays the recorded per-iteration rows into Summary/logging.
 
 Eligibility (the host loop in trust_region.py remains the general path):
-jittable step function, no bounds, no inner iterations, no user callbacks,
-no evaluation callback, no update_state_every_iteration. Both unsharded and
+jittable step function, no inner iterations, no user callbacks, no
+evaluation callback, no update_state_every_iteration. Bounds run fused:
+Plus clamps to the box, the active-set mask zeroes frozen columns, the
+projected Armijo search and projected gradient norms are in-graph. Both unsharded and
 sharded evaluators are supported — `make_chunk_fn` builds the chunk inside
 `shard_map` when given a ShardedEvaluator, so the fused loop also runs the
 multi-chip path. Behavioral parity with the host loop is bit-for-bit in the
@@ -86,11 +88,13 @@ def chunk_iters(options) -> int:
 
 
 def eligible(program, options, evaluator, raw_step_fn) -> bool:
+    # bounds and the trust-region Armijo polish run fused: the active-set
+    # column masking, projected gradient norms, and the projected line
+    # search are all in-graph (see make_chunk_fn) — bounded BA keeps the
+    # headline fused path (VERDICT r3 #8).
     return (
         getattr(options, "fused_execution", True)
         and getattr(raw_step_fn, "jittable", True)
-        and not getattr(program, "has_bounds", False)
-        and not options.trust_region_use_line_search
         and not options.use_inner_iterations
         and not options.callbacks
         and not options.update_state_every_iteration
@@ -137,6 +141,99 @@ def make_chunk_fn(program, options, step_fn, sharded_evaluator=None):
             program, arrays, state, with_jacobian=False, axis_name=axis
         )[0]
 
+    has_bounds = getattr(program, "has_bounds", False)
+    use_ls = (
+        (has_bounds or options.trust_region_use_line_search)
+        and options.max_num_line_search_step_size_iterations > 0
+    )
+    if has_bounds:
+        t_idx_np, a_idx_np = program.bound_coordinate_maps()
+        t_idx = jnp.asarray(t_idx_np, jnp.int32)
+        a_idx = jnp.asarray(a_idx_np, jnp.int32)
+
+    def bound_mask(arrays, state, grad):
+        """Active-set mask over tangent coordinates (0 where the coordinate
+        sits at a bound and -g points outward) — the in-graph twin of
+        TrustRegionMinimizer._active_bound_mask."""
+        x = state[a_idx]
+        g = grad[t_idx]
+        lo = arrays["lower_bound"][a_idx]
+        hi = arrays["upper_bound"][a_idx]
+        active = ((x <= lo) & (g > 0)) | ((x >= hi) & (g < 0))
+        return jnp.ones(
+            program.num_effective_parameters, dtype=state.dtype
+        ).at[t_idx].set(jnp.where(active, 0.0, 1.0).astype(state.dtype))
+
+    def grad_norms(arrays, state, grad):
+        """(max, norm) of the (projected, when bounded) gradient
+        (trust_region_minimizer.cc:270-295)."""
+        if not has_bounds:
+            return jnp.max(jnp.abs(grad)), jnp.linalg.norm(grad)
+        diff = state - plus_fn(program, arrays, state, -grad)
+        return jnp.max(jnp.abs(diff)), jnp.linalg.norm(diff)
+
+    c1_ls = options.line_search_sufficient_function_decrease
+    max_ls = options.max_num_line_search_step_size_iterations
+    min_ls_step = options.min_line_search_step_size
+    ls_max_contract = options.max_line_search_step_contraction
+    ls_min_contract = options.min_line_search_step_contraction
+
+    def projected_line_search(arrays, state, delta, cost, grad, valid):
+        """In-graph Armijo backtracking on cost(Plus(x, a*delta)) — the
+        fused twin of TrustRegionMinimizer._projected_line_search (search
+        failure keeps the full step, as the host loop does). Returns
+        (delta', num_cost_evals)."""
+        dtype = delta.dtype
+        dphi0 = jnp.vdot(grad, delta)
+        run = jnp.logical_and(valid, jnp.isfinite(dphi0) & (dphi0 < 0.0))
+
+        def do_search(_):
+            def cond(s):
+                it, alpha, _best, done, _ev = s
+                return (it < max_ls) & ~done & (alpha >= min_ls_step)
+
+            def body(s):
+                it, alpha, best, done, ev = s
+                f = cost_only(
+                    arrays, plus_fn(program, arrays, state, alpha * delta)
+                )
+                ok = jnp.isfinite(f) & (f <= cost + c1_ls * alpha * dphi0)
+                denom = 2.0 * (f - cost - dphi0 * alpha)
+                new_alpha = jnp.where(
+                    jnp.isfinite(denom) & (denom > 0),
+                    -dphi0 * alpha * alpha / denom,
+                    0.5 * alpha,
+                )
+                new_alpha = jnp.clip(
+                    new_alpha, alpha * ls_max_contract, alpha * ls_min_contract
+                )
+                return (
+                    it + 1,
+                    jnp.where(ok, alpha, new_alpha),
+                    jnp.where(ok, alpha, best),
+                    done | ok,
+                    ev + 1,
+                )
+
+            _, _, best, done, ev = jax.lax.while_loop(
+                cond,
+                body,
+                (
+                    jnp.asarray(0, jnp.int32),
+                    jnp.asarray(1.0, dtype),
+                    jnp.asarray(1.0, dtype),
+                    jnp.asarray(False),
+                    jnp.asarray(0, jnp.int32),
+                ),
+            )
+            return jnp.where(done, best, 1.0), ev
+
+        def skip(_):
+            return jnp.asarray(1.0, dtype), jnp.asarray(0, jnp.int32)
+
+        alpha, ev = jax.lax.cond(run, do_search, skip, None)
+        return alpha * delta, ev
+
     def chunk_fn(arrays, state, cost, res, jac_children, grad, scale, radius,
                  df, ninv, se, limit):
         dtype = state.dtype
@@ -148,9 +245,18 @@ def make_chunk_fn(program, options, step_fn, sharded_evaluator=None):
             jac = BlockJacobian.tree_unflatten(
                 (program, axis, None), c["jac"]
             )
+            if has_bounds:
+                iter_scale = scale * bound_mask(arrays, c["state"], c["grad"])
+            else:
+                iter_scale = scale
             delta, mcc, lin_iters, valid = step_fn(
-                jac, list(c["res"]), c["grad"], c["radius"], scale
+                jac, list(c["res"]), c["grad"], c["radius"], iter_scale
             )
+            nls_new = jnp.asarray(0, jnp.int32)
+            if use_ls:
+                delta, nls_new = projected_line_search(
+                    arrays, c["state"], delta, c["cost"], c["grad"], valid
+                )
 
             # ---- invalid-step path (HandleInvalidStep) ----
             ninv1 = jnp.where(valid, 0, c["ninv"] + 1)
@@ -163,7 +269,12 @@ def make_chunk_fn(program, options, step_fn, sharded_evaluator=None):
             candidate = plus_fn(program, arrays, c["state"], delta)
             new_cost = cost_only(arrays, candidate)
             finite_new = jnp.isfinite(new_cost)
-            step_norm = jnp.linalg.norm(delta)
+            if has_bounds:
+                # the projected candidate can move less than |delta|:
+                # measure the realized ambient step (host-loop parity)
+                step_norm = jnp.linalg.norm(c["state"] - candidate)
+            else:
+                step_norm = jnp.linalg.norm(delta)
             x_norm = jnp.linalg.norm(c["state"])
             cost_change = c["cost"] - new_cost
 
@@ -247,8 +358,10 @@ def make_chunk_fn(program, options, step_fn, sharded_evaluator=None):
                 successful, reeval, keep, None
             )
             eval_fail = jnp.logical_and(successful, ~jnp.isfinite(cost_j))
-            gmax = jnp.max(jnp.abs(grad2)) if grad2.size else jnp.zeros((), dtype)
-            gnorm = jnp.linalg.norm(grad2)
+            if grad2.size:
+                gmax, gnorm = grad_norms(arrays, state2, grad2)
+            else:
+                gmax = gnorm = jnp.zeros((), dtype)
             t_grad = jnp.logical_and(successful, gmax <= gtol)
 
             term = jnp.where(
@@ -314,6 +427,7 @@ def make_chunk_fn(program, options, step_fn, sharded_evaluator=None):
                 nfail=c["nfail"]
                 + (jnp.logical_or(~valid, rejected)).astype(jnp.int32),
                 njac=c["njac"] + successful.astype(jnp.int32),
+                nls=c["nls"] + nls_new,
             )
 
         init = dict(
@@ -332,6 +446,7 @@ def make_chunk_fn(program, options, step_fn, sharded_evaluator=None):
             nsucc=jnp.asarray(0, jnp.int32),
             nfail=jnp.asarray(0, jnp.int32),
             njac=jnp.asarray(0, jnp.int32),
+            nls=jnp.asarray(0, jnp.int32),
         )
         final = jax.lax.while_loop(cond, body, init)
         # every host-facing number in ONE flat array: each separate scalar
@@ -347,6 +462,7 @@ def make_chunk_fn(program, options, step_fn, sharded_evaluator=None):
                         final["nfail"].astype(dtype),
                         final["njac"].astype(dtype),
                         final["cost"].astype(dtype),
+                        final["nls"].astype(dtype),
                     ]
                 ),
                 final["stats"].reshape(-1),
@@ -374,7 +490,7 @@ def make_chunk_fn(program, options, step_fn, sharded_evaluator=None):
         it=rep, term=rep, state=rep, cost=rep,
         res=res_specs, jac=jac_specs, grad=rep,
         radius=rep, df=rep, ninv=rep, se=se_specs, stats=rep,
-        nsucc=rep, nfail=rep, njac=rep, packed=rep,
+        nsucc=rep, nfail=rep, njac=rep, nls=rep, packed=rep,
     )
     return jax.jit(
         jax.shard_map(
@@ -424,8 +540,10 @@ def run_fused(minimizer, state, summary):
     else:
         scale = jnp.ones(program.num_effective_parameters, dtype=state.dtype)
 
-    gmax0 = float(jnp.max(jnp.abs(grad))) if grad.size else 0.0
-    gnorm0 = float(jnp.linalg.norm(grad))
+    if grad.size:
+        gmax0, gnorm0 = minimizer._grad_norms(ev, state, grad)
+    else:
+        gmax0, gnorm0 = 0.0, 0.0
     it0 = IterationSummary(
         iteration=0,
         step_is_valid=True,
@@ -484,7 +602,8 @@ def run_fused(minimizer, state, summary):
         nfail = int(packed[3])
         njac = int(packed[4])
         cost_host = float(packed[5])  # current cost without a second fetch
-        stats = packed[6:].reshape(-1, _N_STATS)[:n_it]
+        nls = int(packed[6])
+        stats = packed[7:].reshape(-1, _N_STATS)[:n_it]
         chunk_time = time.time() - t_chunk
 
         state = out["state"]
@@ -496,7 +615,8 @@ def run_fused(minimizer, state, summary):
         summary.num_successful_steps += nsucc
         summary.num_unsuccessful_steps += nfail
         summary.num_jacobian_evaluations += njac
-        summary.num_residual_evaluations += n_it
+        summary.num_residual_evaluations += n_it + nls
+        summary.num_line_search_steps += nls
         summary.num_linear_solves += n_it
         summary.linear_solver_time_in_seconds += chunk_time
         # Per-call stats (execution_summary.h role): counts are exact; the
