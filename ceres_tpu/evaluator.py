@@ -36,6 +36,12 @@ from .utils.dtypes import default_dtype
 from .utils.flags import env_flag
 
 
+# Pre-kernel parameter gathers: classes up to this many rows use the
+# two-level one-hot MXU gather; larger ones fall back to the chunked row
+# gather (the one-hot's 2*s*cnt*n FLOPs cross the gather's cost ~here on
+# v5e).
+EVAL_GATHER_ONEHOT_MAX = 4096
+
 # ---------------------------------------------------------------------- #
 # pure functions over (program-meta, arrays)
 # ---------------------------------------------------------------------- #
@@ -180,24 +186,32 @@ def _group_eval_pallas(meta, garr, state_2d, apply_loss, axis_name,
             plan = (meta.shard_red_plans or {}).get(pos)
         else:
             plan = (meta.red_plans or {}).get(pos)
+        tbl = state_2d[pm.a_cls]
         if (
             pos == meta.owner
             and meta.owner_ambient_aligned
             and plan is not None
             and plan[0] in ("bucket", "bucket_sharded")
         ):
-            params_T.append(gather_T(plan, state_2d[pm.a_cls], rows, axis_name))
+            params_T.append(gather_T(plan, tbl, rows, axis_name))
+        elif tbl.shape[0] <= EVAL_GATHER_ONEHOT_MAX:
+            # Small class (e.g. BAL-1778 cameras): two-level one-hot
+            # matmul gather on the MXU (jacobian._onehot_gather_rows) —
+            # no [chunk, s] tile-padded materialization at all (measured
+            # 2.8 ms vs 12.6 ms take+transpose at 5M lanes).
+            from .jacobian import _onehot_gather_rows
+
+            params_T.append(_onehot_gather_rows(tbl.T, rows))
         else:
-            # Row-major take + transpose, the round-1 TPU-proven gather.
-            # The [chunk, s] gather intermediate is tile-padded (s=9 ->
-            # 128 lanes, 14.2x), so it is lane-chunked to bound the
-            # padding to ~3 GB per slice at BAL-13682 scale. (Round 2
-            # briefly used an unchunked lane-axis gather
+            # Large class (BAL-13682 cameras): the one-hot matmul's
+            # O(cnt*n) MXU cost exceeds the tile-padded row gather's; use
+            # the round-1 TPU-proven take+transpose, lane-chunked to bound
+            # the [chunk, s] -> 128-lane padding to ~3 GB per slice.
+            # (Round 2 briefly used an unchunked lane-axis gather
             # `state.T[:, rows]` here; it was never validated on TPU and
             # is implicated in the BENCH_r02 worker wedge.)
             from .jacobian import lane_chunks
 
-            tbl = state_2d[pm.a_cls]
             parts = [
                 jnp.take(tbl, rows[s : s + sz], axis=0).T
                 for (s, sz) in lane_chunks(rows.shape[0])

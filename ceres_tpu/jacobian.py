@@ -68,6 +68,55 @@ def lane_chunks(n: int, chunk: int = None):
     return [(s, min(chunk, n - s)) for s in range(0, n, chunk)]
 
 
+# Two-level factorized one-hot (measured on v5e at 5M lanes / 1779 blocks:
+# gather 8.45 -> 2.8 ms, reduce 8.2 -> 2.8 ms (k=2) / 9.6 -> 4.4 ms (k=9)):
+# writing the one-hot as oh[c, n] = oh_hi[c//B, n] * oh_lo[c%B, n] cuts the
+# iota-compare generation from cnt*n to (cnt/B + B)*n VPU ops; the MXU
+# contraction keeps its 2*k*cnt*n FLOPs but runs against the small
+# [A = cnt/B] axis. B=8 is the measured sweet spot for the block sizes
+# (2..16) this framework produces.
+ONEHOT_LO = 8
+
+
+def _onehot_gather_rows(table_t, rows):
+    """Gather columns of a transposed class table: [s, cnt] x rows [n] ->
+    [s, n], as a two-level one-hot matmul on the MXU."""
+    s, cnt = table_t.shape
+    B = ONEHOT_LO
+    A = -(-cnt // B)
+    t3 = table_t
+    if A * B != cnt:
+        t3 = jnp.pad(table_t, ((0, 0), (0, A * B - cnt)))
+    # [s, A, B] -> [s*B, A] with row s_i*B + b
+    t3 = jnp.transpose(t3.reshape(s, A, B), (0, 2, 1)).reshape(s * B, A)
+    rows_hi = rows // B
+    rows_lo = rows % B
+    oh_hi = jax.nn.one_hot(rows_hi, A, dtype=table_t.dtype, axis=0)  # [A, n]
+    tmp = jnp.einsum(
+        "ka,an->kn", t3, oh_hi, preferred_element_type=table_t.dtype
+    ).reshape(s, B, rows.shape[0])
+    oh_lo = jax.nn.one_hot(rows_lo, B, dtype=table_t.dtype, axis=0)  # [B, n]
+    return (tmp * oh_lo[None]).sum(axis=1)
+
+
+def _onehot_reduce_rows(contrib, rows, num_out, acc_dtype):
+    """Segment-reduce [k, n] -> [k, num_out] as a two-level one-hot matmul
+    (the transpose of _onehot_gather_rows)."""
+    k, n = contrib.shape
+    B = ONEHOT_LO
+    A = -(-num_out // B)
+    rows_hi = rows // B
+    rows_lo = rows % B
+    oh_lo = jax.nn.one_hot(rows_lo, B, dtype=contrib.dtype, axis=0)  # [B, n]
+    ctmp = (contrib[:, None, :] * oh_lo[None]).reshape(k * B, n)
+    oh_hi = jax.nn.one_hot(rows_hi, A, dtype=contrib.dtype)  # [n, A]
+    out = jnp.einsum(
+        "Kn,na->Ka", ctmp, oh_hi, preferred_element_type=acc_dtype
+    )  # [k*B, A]
+    out = jnp.transpose(out.reshape(k, B, A), (0, 2, 1)).reshape(k, A * B)
+    return out[:, :num_out]
+
+
 def gather_T(plan, table, rows, axis_name=None):
     """Gather class-table rows into transposed form [s, n].
 
@@ -109,11 +158,11 @@ def gather_T(plan, table, rows, axis_name=None):
             )
         return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
     if plan is not None and plan[0] == "onehot":
-        onehot = jax.nn.one_hot(rows, table.shape[0], dtype=table.dtype, axis=0)
-        return jnp.einsum(
-            "cs,cn->sn", table, onehot, preferred_element_type=table.dtype
-        )
-    return jnp.take(table, rows, axis=0).T
+        return _onehot_gather_rows(table.T, rows)
+    # clip: dump/pad rows may index one past the table (their lanes are
+    # masked or land in the dropped dump column); NaN-fill would poison
+    # whole reductions through 0 * NaN
+    return jnp.take(table, rows, axis=0, mode="clip").T
 
 
 def gather_T_t(plan, table_t, rows, axis_name=None):
@@ -152,15 +201,10 @@ def gather_T_t(plan, table_t, rows, axis_name=None):
             )
         return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
     if plan is not None and plan[0] == "onehot":
-        onehot = jax.nn.one_hot(
-            rows, table_t.shape[1], dtype=table_t.dtype, axis=0
-        )
-        return jnp.einsum(
-            "sc,cn->sn", table_t, onehot, preferred_element_type=table_t.dtype
-        )
+        return _onehot_gather_rows(table_t, rows)
     # plan-less fallback (small problems only): row-major gather on the
-    # un-transposed table
-    return jnp.take(table_t.T, rows, axis=0).T
+    # un-transposed table (clip: see gather_T)
+    return jnp.take(table_t.T, rows, axis=0, mode="clip").T
 
 
 def reduce_T(plan, contrib, rows, num_out, axis_name=None, acc_dtype=None):
@@ -203,20 +247,14 @@ def reduce_T(plan, contrib, rows, num_out, axis_name=None, acc_dtype=None):
             out = jax.lax.dynamic_update_slice(out, cur + seg, (zc, col))
         return out
     if plan is not None and plan[0] == "onehot":
-        # lane-chunked: each chunk's one-hot matmul operand slice keeps the
+        # lane-chunked: each chunk's one-hot operand slices keep the
         # (possibly virtual) contrib producer fused per chunk instead of
         # materializing a [k, n] buffer (9.4 GB at BAL-13682 scale)
         n = contrib.shape[1]
         out = jnp.zeros((k, num_out), acc_dtype)
         for (s, sz) in lane_chunks(n):
-            onehot = jax.nn.one_hot(
-                rows[s : s + sz], num_out, dtype=contrib.dtype
-            )
-            out = out + jnp.einsum(
-                "kn,nc->kc",
-                contrib[:, s : s + sz],
-                onehot,
-                preferred_element_type=acc_dtype,
+            out = out + _onehot_reduce_rows(
+                contrib[:, s : s + sz], rows[s : s + sz], num_out, acc_dtype
             )
         return out
     return jax.ops.segment_sum(

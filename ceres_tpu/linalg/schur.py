@@ -44,15 +44,59 @@ def schur_views(program, jac):
     return jac_e, jac_f
 
 
-def make_ete_solver(program, jac_e, dsq_e):
-    """Factorized (E^T E + D_e^2)^{-1} as batched per-class Cholesky."""
+def _e_classes(program):
     e_blocks, _, _ = program.compute_schur_partition()
-    e_classes = {
+    return {
         int(program.block_class[i])
         for i in range(len(e_blocks))
         if e_blocks[i] and program.block_class[i] >= 0
     }
+
+
+def add_dsq_T(program, tables, dsq):
+    """tables[cls] [s*s, cnt] += diag(dsq) per block (the cheap
+    dsq-dependent half of a Gram build)."""
+    import numpy as np
+
+    from ..evaluator import tangent_tables
+
+    dt = tangent_tables(program, dsq)
+    out = []
+    for cls, acc in enumerate(tables):
+        if acc is None:
+            out.append(None)
+            continue
+        s = program.tangent_class_sizes[cls]
+        diag_rows = np.arange(s) * s + np.arange(s)
+        out.append(acc.at[diag_rows, :].add(dt[cls].T))
+    return out
+
+
+def make_ete_solver(program, jac_e, dsq_e):
+    """Factorized (E^T E + D_e^2)^{-1} as batched per-class Cholesky."""
+    e_classes = _e_classes(program)
     blocks = jac_e.block_diag_jtj(dsq=dsq_e, class_ids=e_classes)
+    return BlockDiagSolver(program, blocks, only_classes=e_classes)
+
+
+def ete_gram_tables(program, jac_e):
+    """The J-dependent half of make_ete_solver: per-class E^T E tables
+    WITHOUT the LM diagonal (reusable across rejected steps, where J is
+    unchanged and only the radius moved — reference: Preconditioner::Update
+    separated from creation, iterative_schur_complement_solver.cc:95-153)."""
+    e_classes = _e_classes(program)
+    tables = jac_e.block_diag_jtj(dsq=None, class_ids=e_classes)
+    return [
+        t if cls in e_classes else None for cls, t in enumerate(tables)
+    ]
+
+
+def ete_solver_from_gram(program, gram_tables, dsq_e):
+    """(E^T E + D_e^2)^{-1} from cached grams + the current LM diagonal —
+    exact (the Schur operator itself must always see the true dsq), and
+    cheap: a diagonal add plus the small batched inverses."""
+    e_classes = _e_classes(program)
+    blocks = add_dsq_T(program, list(gram_tables), dsq_e)
     return BlockDiagSolver(program, blocks, only_classes=e_classes)
 
 
@@ -146,6 +190,116 @@ def schur_jacobi_blocks(program, jac_e, jac_f, ete_solver, dsq_f):
         # inside block_diag_jtj.
         out.append(ftf[cls] - jac_f._psum(corrections[cls]))
     return out
+
+
+def schur_prepare(program, options, jac_s):
+    """J-dependent (radius-independent) half of an ITERATIVE_SCHUR step.
+
+    Everything expensive that depends only on the (scaled) Jacobian —
+    column norms, the per-point E^T E grams, and the preconditioner's
+    Gram-minus-correction tables — is built here once per Jacobian and
+    reused verbatim while steps are being rejected (J unchanged, only the
+    trust-region radius moved). The correction term uses (E^T E)^{-1}
+    without the LM diagonal; since E^T E + D^2 >= E^T E, the cached
+    correction is an upper bound and P = FtF + dsq_f - corr0 stays SPD for
+    every later radius (Schur complement of a PSD matrix is PSD).
+    reference: Preconditioner::Update split from creation
+    (iterative_schur_complement_solver.cc:95-153); the rejected-step reuse
+    goes beyond the reference, which re-runs Update every solve.
+    """
+    from ..types import PreconditionerType
+
+    jac_e, jac_f = schur_views(program, jac_s)
+    colnorm2 = jac_s.squared_column_norms()
+    e_gram0 = ete_gram_tables(program, jac_e)
+
+    precond = options.preconditioner_type
+    if precond == PreconditionerType.SCHUR_JACOBI:
+        # The cached correction's (E^T E)^{-1} carries no LM diagonal, so
+        # weakly observed points would make it explode (catastrophically in
+        # f32). Floor the diagonal at a dtype-relative ridge: corr(ridge)
+        # <= corr(0) <= FtF keeps P SPD and the 1e2*eps inflation is far
+        # below preconditioner-quality resolution.
+        e_mask = jnp.asarray(
+            program.schur_tangent_masks()[0], dtype=colnorm2.dtype
+        )
+        ridge = 100.0 * float(jnp.finfo(colnorm2.dtype).eps)
+        ete0 = ete_solver_from_gram(
+            program, e_gram0, ridge * colnorm2 * e_mask
+        )
+        zero = jnp.zeros_like(colnorm2)
+        p0 = schur_jacobi_blocks(program, jac_e, jac_f, ete0, zero)
+    elif precond == PreconditionerType.JACOBI:
+        p0 = jac_f.block_diag_jtj(dsq=None)
+    else:  # IDENTITY
+        p0 = None
+    return {
+        "colnorm2": colnorm2,
+        "e_gram0": list(e_gram0),
+        "p0": None if p0 is None else list(p0),
+    }
+
+
+def schur_finish(program, options, jac_s, res_groups, grad_s, dsq, cache):
+    """Radius-dependent half: exact (E^T E + D_e^2)^{-1} from the cached
+    grams, preconditioner assembly (diagonal add + small batched inverses),
+    then the tvec PCG + back-substitution. Returns (step, lin_iters)."""
+    dtype = grad_s.dtype
+    e_mask_np, f_mask_np = program.schur_tangent_masks()
+    e_mask = jnp.asarray(e_mask_np, dtype=dtype)
+    f_mask = jnp.asarray(f_mask_np, dtype=dtype)
+
+    jac_e, jac_f = schur_views(program, jac_s)
+    dsq_e = dsq * e_mask
+    dsq_f = dsq * f_mask
+    g_e = grad_s * e_mask
+    g_f = grad_s * f_mask
+
+    ete = ete_solver_from_gram(program, cache["e_gram0"], dsq_e)
+
+    prec = None
+    if cache["p0"] is not None:
+        blocks = add_dsq_T(program, list(cache["p0"]), dsq_f)
+        prec = BlockDiagSolver(program, blocks)
+
+    # rhs = -g_f + F^T E M^{-1} g_e
+    t2 = ete(g_e)
+    et2 = jac_e.right_multiply(t2)
+    rhs = -g_f + jac_f.left_multiply(et2)
+
+    jac_m = jac_s.materialize_scale()
+    jac_e_m, jac_f_m = schur_views(program, jac_m)
+    if getattr(options, "use_mixed_precision_solves", False):
+        jac_e_mv = jac_e_m.astype(jnp.bfloat16)
+        jac_f_mv = jac_f_m.astype(jnp.bfloat16)
+    else:
+        jac_e_mv, jac_f_mv = jac_e_m, jac_f_m
+    dsq_f_tv = jac_s.tvec(dsq_f)
+
+    def s_apply_t(y_tv):
+        t1 = jac_f_mv.right_multiply_t(y_tv)
+        t2 = ete.apply_t(jac_e_mv.left_multiply_t(t1))
+        et2 = jac_e_mv.right_multiply_t(t2)
+        diff = [a - b for a, b in zip(t1, et2)]
+        out = jac_f_mv.left_multiply_t(diff)
+        return [o + d * y for o, d, y in zip(out, dsq_f_tv, y_tv)]
+
+    result = conjugate_gradients(
+        matvec=s_apply_t,
+        b=jac_s.tvec(rhs),
+        preconditioner=prec.apply_t if prec is not None else None,
+        max_iterations=options.max_linear_solver_iterations,
+        min_iterations=options.min_linear_solver_iterations,
+        tolerance=0.0,
+        q_tolerance=options.eta,
+    )
+    dx_f = jac_s.tvec_flat(result.x) * f_mask
+
+    # back-substitute e-part: dx_e = -M^{-1} (g_e + E^T F dx_f)
+    fdx = jac_f.right_multiply(dx_f)
+    etfdx = jac_e.left_multiply(fdx)
+    dx_e = -ete(g_e + etfdx) * e_mask
+    return dx_f + dx_e, result.iterations
 
 
 def make_power_series_applier(

@@ -331,6 +331,41 @@ class ShardedEvaluator(Evaluator):
     def plus(self, state, delta):
         return self._plus_sharded(self.arrays, state, delta)
 
+    def wrap_prepare(self, prepare_fn):
+        """shard_map a strategy prepare function (the J-dependent half of
+        the prepare/finish split) so its Gram reductions run with the
+        shard-local plans and psum — the same environment the chunk body
+        rebuilds the cache in."""
+        rep = P()
+        jac_specs = jac_pspecs(self.program, self.axis)
+        res_specs = tuple(res_groups_pspecs(self.program, self.axis))
+
+        from ..jacobian import BlockJacobian
+
+        def _prepare_inner(jac_children, res_groups, grad, scale):
+            jac_g, t_rows, col_scale = jac_children
+            jac = BlockJacobian(
+                self.program, jac_g, t_rows, axis_name=self.axis,
+                col_scale=col_scale,
+            )
+            return prepare_fn(jac, list(res_groups), grad, scale)
+
+        _sharded_prepare = jax.jit(
+            jax.shard_map(
+                _prepare_inner,
+                mesh=self.mesh,
+                check_vma=False,
+                in_specs=(jac_specs, res_specs, rep, rep),
+                out_specs=rep,
+            )
+        )
+
+        def wrapper(jac, res_groups, grad, scale):
+            children, _ = jac.tree_flatten()
+            return _sharded_prepare(children, tuple(res_groups), grad, scale)
+
+        return wrapper
+
     def wrap_step_fn(self, step_fn_raw):
         """shard_map a strategy step function (strategies.make_lm_step_fn's
         inner fn) so its matrix products run sharded with psum reductions."""

@@ -133,6 +133,43 @@ def make_lm_step_fn(program, options, evaluator):
         valid = jnp.logical_and(jnp.all(jnp.isfinite(delta)), mcc > 0)
         return delta, mcc, lin_iters, valid
 
+    # prepare/finish split for ITERATIVE_SCHUR: the J-dependent grams and
+    # preconditioner tables (schur.schur_prepare, the 74.7 ms build at
+    # BAL-1778 scale) are cached and reused across consecutive rejected
+    # steps, where only the radius moved; finish rebuilds exactly the
+    # dsq-dependent pieces. Consumed by the host loop's prepare cache and
+    # by the fused chunk body (fused_loop.make_chunk_fn).
+    if (
+        solver_type == LinearSolverType.ITERATIVE_SCHUR
+        and precond_type
+        in (
+            PreconditionerType.SCHUR_JACOBI,
+            PreconditionerType.JACOBI,
+            PreconditionerType.IDENTITY,
+        )
+        and not getattr(options, "use_explicit_schur_complement", False)
+        and not getattr(options, "use_spse_initialization", False)
+    ):
+        from ..linalg.schur import schur_finish, schur_prepare
+
+        def prepare_fn(jac, res_groups, grad, scale):
+            return schur_prepare(program, options, jac.scale_columns(scale))
+
+        def finish_fn(jac, res_groups, grad, radius, scale, cache):
+            jac_s = jac.scale_columns(scale)
+            grad_s = grad * scale
+            dsq = jnp.clip(cache["colnorm2"], min_diag, max_diag) / radius
+            step, lin_iters = schur_finish(
+                program, options, jac_s, res_groups, grad_s, dsq, cache
+            )
+            mcc = _model_cost_change(jac_s, step, res_groups)
+            delta = scale * step
+            valid = jnp.logical_and(jnp.all(jnp.isfinite(delta)), mcc > 0)
+            return delta, mcc, lin_iters, valid
+
+        step_fn.prepare = prepare_fn
+        step_fn.finish = finish_fn
+
     if (
         solver_type == LinearSolverType.CGNR
         and precond_type == PreconditionerType.SUBSET

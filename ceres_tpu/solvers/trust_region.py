@@ -81,11 +81,27 @@ class TrustRegionMinimizer:
         self._fused_chunk_fn = None
         from .fused_loop import eligible, make_chunk_fn
 
+        self._fused_prepare = None
         if eligible(program, options, evaluator, raw_step_fn):
             sharded = evaluator if hasattr(evaluator, "wrap_step_fn") else None
             self._fused_chunk_fn = make_chunk_fn(
                 program, options, raw_step_fn, sharded_evaluator=sharded
             )
+            # initial prepare cache for the chunk's split step (same
+            # condition as make_chunk_fn's use_split)
+            if hasattr(raw_step_fn, "prepare") and not getattr(
+                program, "has_bounds", False
+            ):
+                import jax
+
+                if sharded is not None:
+                    # the cache must be built in the same sharded
+                    # environment the chunk body rebuilds it in
+                    self._fused_prepare = sharded.wrap_prepare(
+                        raw_step_fn.prepare
+                    )
+                else:
+                    self._fused_prepare = jax.jit(raw_step_fn.prepare)
 
     def _grad_norms(self, ev, state, grad):
         """(max_norm, norm) of the gradient; with bounds present these are
@@ -276,9 +292,13 @@ class TrustRegionMinimizer:
                     trust_region_radius=radius,
                 )
             if self._prepare_fn is not None:
-                # reuse the cached Gauss-Newton point while the Jacobian is
-                # unchanged (rejected steps only shrink the radius)
+                # reuse the cached prepare while the Jacobian is unchanged
+                # (rejected steps only shrink the radius); an active bound
+                # mask changes iter_scale per iteration, so the cache must
+                # rebuild every time it is in effect
                 key = iteration_of_last_jacobian
+                if iter_scale is not scale:
+                    key = ("masked", iteration)
                 if self._prepare_key != key:
                     self._prepare_cache = self._prepare_fn(
                         jac, res_groups, grad, iter_scale
