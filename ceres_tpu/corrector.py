@@ -50,7 +50,7 @@ def correct_batched(res, jacs, rho0, rho1, rho2):
     for jac in jacs:
         # r^T J : [n, p]; correction uses the *uncorrected* residuals
         # (corrector.h:80-82 "CorrectJacobian before CorrectResiduals").
-        rtj = jnp.einsum("nr,nrp->np", res, jac)
+        rtj = jnp.einsum("nr,nrp->np", res, jac, precision="highest")
         corrected = sqrt_rho1[:, None, None] * (
             jac - alpha_sq_norm[:, None, None] * res[:, :, None] * rtj[:, None, :]
         )

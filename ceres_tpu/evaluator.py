@@ -277,7 +277,9 @@ def _group_eval_range(
         for pos, pm in enumerate(meta.positions):
             if pm.manifold is not None:
                 pj = jax.vmap(pm.manifold.plus_jacobian)(params[pos])
-                jacs[pos] = jnp.einsum("nrs,nst->nrt", jacs[pos], pj)
+                jacs[pos] = jnp.einsum(
+                    "nrs,nst->nrt", jacs[pos], pj, precision="highest"
+                )
     else:
         res = batched_values(fn, params, data)
         jacs = []

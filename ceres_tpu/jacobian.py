@@ -78,9 +78,27 @@ def lane_chunks(n: int, chunk: int = None):
 ONEHOT_LO = 8
 
 
+def _onehot_precision(operand_dtype):
+    """MXU precision for the one-hot matmuls standing in for gather/reduce.
+
+    The TPU's DEFAULT matmul precision truncates f32 operands to bf16 —
+    for a matmul used as a GATHER that silently quantizes the gathered
+    VALUES (~4e-3 relative; caught by tests_tpu/test_differential.py), so
+    f32 operands require Precision.HIGHEST (exact; measured +~1.7-2.5 ms
+    per op at 5M lanes vs the broken default — benchmarks/
+    onehot_precision.py, which also shows HIGHEST beating a 3x-bf16-plane
+    decomposition). bf16 leaves (mixed-precision solves) keep DEFAULT:
+    they are already quantized by design and the one-hot side is exact in
+    bf16."""
+    if operand_dtype == jnp.bfloat16:
+        return None
+    return jax.lax.Precision.HIGHEST
+
+
 def _onehot_gather_rows(table_t, rows):
     """Gather columns of a transposed class table: [s, cnt] x rows [n] ->
-    [s, n], as a two-level one-hot matmul on the MXU."""
+    [s, n], as a two-level one-hot matmul on the MXU (exact — see
+    _onehot_precision)."""
     s, cnt = table_t.shape
     B = ONEHOT_LO
     A = -(-cnt // B)
@@ -93,7 +111,8 @@ def _onehot_gather_rows(table_t, rows):
     rows_lo = rows % B
     oh_hi = jax.nn.one_hot(rows_hi, A, dtype=table_t.dtype, axis=0)  # [A, n]
     tmp = jnp.einsum(
-        "ka,an->kn", t3, oh_hi, preferred_element_type=table_t.dtype
+        "ka,an->kn", t3, oh_hi, preferred_element_type=table_t.dtype,
+        precision=_onehot_precision(table_t.dtype),
     ).reshape(s, B, rows.shape[0])
     oh_lo = jax.nn.one_hot(rows_lo, B, dtype=table_t.dtype, axis=0)  # [B, n]
     return (tmp * oh_lo[None]).sum(axis=1)
@@ -101,7 +120,8 @@ def _onehot_gather_rows(table_t, rows):
 
 def _onehot_reduce_rows(contrib, rows, num_out, acc_dtype):
     """Segment-reduce [k, n] -> [k, num_out] as a two-level one-hot matmul
-    (the transpose of _onehot_gather_rows)."""
+    (the transpose of _onehot_gather_rows; element-exact contributions —
+    see _onehot_precision)."""
     k, n = contrib.shape
     B = ONEHOT_LO
     A = -(-num_out // B)
@@ -111,7 +131,8 @@ def _onehot_reduce_rows(contrib, rows, num_out, acc_dtype):
     ctmp = (contrib[:, None, :] * oh_lo[None]).reshape(k * B, n)
     oh_hi = jax.nn.one_hot(rows_hi, A, dtype=contrib.dtype)  # [n, A]
     out = jnp.einsum(
-        "Kn,na->Ka", ctmp, oh_hi, preferred_element_type=acc_dtype
+        "Kn,na->Ka", ctmp, oh_hi, preferred_element_type=acc_dtype,
+        precision=_onehot_precision(contrib.dtype),
     )  # [k*B, A]
     out = jnp.transpose(out.reshape(k, B, A), (0, 2, 1)).reshape(k, A * B)
     return out[:, :num_out]

@@ -464,8 +464,11 @@ class GroupKernel:
                     v = v[0]  # [1, C] block -> scalar-level () + lane
                 args.append(_LaneVal(v, True))
             outs = lane_eval(closed.jaxpr, consts, args, C)
-            res = outs[0].val  # [r, C]
-            cols = [o.val for o in outs[1:]]  # T x [r, C]
+            # functors with constant residuals/Jacobian entries (e.g. an
+            # identity-Jacobian tether) produce lane-LESS outputs — promote
+            # them to the [r, C] lane layout
+            res = _promote(outs[0], (r,), C)  # [r, C]
+            cols = [_promote(o, (r,), C) for o in outs[1:]]  # T x [r, C]
 
             # validity: lane < n AND mask nonzero; carried as i32 (Mosaic
             # cannot relayout 1-bit vectors across sublanes)
