@@ -126,13 +126,15 @@ def _make_eval_fns(jax, program):
     return ev_full, ev_res
 
 
-def _timed_evals(fn, arrays, state, n, pipeline=True):
-    """Depth-2 pipeline (round-1-proven): each checksum is fetched (sync),
-    but the next dispatch is issued first so the relay's ~25 ms round trip
-    overlaps device compute (a tunnel artifact; the reference's local GPU
-    pays microseconds for the same dispatch). pipeline=False runs serially
-    — two in-flight output sets double HBM for the outputs, which the
-    29M-observation problem cannot afford."""
+def _timed_evals(fn, arrays, state, n, pipeline=True, depth=2):
+    """Depth-D pipeline (round-1-proven at D=2): each checksum is fetched
+    (sync), but D dispatches stay in flight so the relay's ~25 ms round
+    trip overlaps device compute (a tunnel artifact; the reference's local
+    GPU pays microseconds for the same dispatch). Short kernels need
+    D*compute > RTT to become compute-bound — the residual eval (11.6 ms
+    on-device) uses depth 4. pipeline=False runs serially — in-flight
+    output sets multiply HBM for the outputs, which the 29M-observation
+    problem cannot afford."""
     out = fn(arrays, state)
     float(out[0])  # warmup/compile
     del out
@@ -144,12 +146,15 @@ def _timed_evals(fn, arrays, state, n, pipeline=True):
             del out
         return (time.perf_counter() - t0) / n * 1000.0
     t0 = time.perf_counter()
-    pending = fn(arrays, state)
-    for _ in range(n - 1):
-        nxt = fn(arrays, state)
-        float(pending[0])
-        pending = nxt
-    float(pending[0])
+    from collections import deque
+
+    pending = deque()
+    for _ in range(n):
+        pending.append(fn(arrays, state))
+        if len(pending) >= depth:
+            float(pending.popleft()[0])
+    while pending:
+        float(pending.popleft()[0])
     return (time.perf_counter() - t0) / n * 1000.0
 
 
@@ -178,7 +183,7 @@ def phase_eval1778():
     arrays = program.arrays(jnp.float32)
     state = program.state_vector(jnp.float32)
 
-    res_ms = _timed_evals(ev_res, arrays, state, NUM_RES_EVALS)
+    res_ms = _timed_evals(ev_res, arrays, state, NUM_RES_EVALS, depth=4)
     emit(
         "bal1778_residual_eval_ms",
         res_ms,

@@ -128,7 +128,7 @@ def bench_eval(program, n):
     run("xla", {"CERES_TPU_NO_PALLAS": "1"})
     if jax.default_backend() == "tpu":
         # unvalidated-on-TPU variant, kept opt-in (see evaluator.py)
-        run("res_kernel", {"CERES_TPU_RES_KERNEL": "1"})
+        run("res_kernel", {})  # kernel is the default residual path now
 
 
 def bench_reduce(program, n):

@@ -33,7 +33,6 @@ from .autodiff import batched_value_and_jacobians, batched_values
 from .corrector import correct_batched
 from .jacobian import BlockJacobian
 from .utils.dtypes import default_dtype
-from .utils.flags import env_flag
 
 
 # Pre-kernel parameter gathers: classes up to this many rows use the
@@ -127,16 +126,16 @@ def _group_eval(
 
     n_total = garr["a_rows"][0].shape[0] if garr["a_rows"] else meta.n
 
-    # Residual-only evaluation defaults to the XLA path: the residual-only
-    # kernel variant shipped in round 2 without on-TPU validation and the
-    # first full-scale run wedged the TPU worker (BENCH_r02 post-mortem).
-    # CERES_TPU_RES_KERNEL=1 opts back in for on-chip A/B validation.
-    use_pallas = with_jacobian or env_flag("CERES_TPU_RES_KERNEL")
-    out = None
-    if use_pallas:
-        out = _group_eval_pallas(
-            meta, garr, state_2d, apply_loss, axis_name, with_jacobian
-        )
+    # Both evaluation modes use the fused kernel when the group is
+    # eligible. The residual-only variant shipped in round 2 without
+    # on-TPU validation (and the first full-scale run wedged the TPU
+    # worker — BENCH_r02 post-mortem); it is now validated on chip by
+    # tests_tpu/ and A/B-measured faster than the XLA path at both
+    # benchmark scales (round 4: 11.6 vs 21.9 ms in-graph at 5M lanes,
+    # 134 vs 142 ms dispatched at 29M), so the quarantine gate is gone.
+    out = _group_eval_pallas(
+        meta, garr, state_2d, apply_loss, axis_name, with_jacobian
+    )
     if out is not None:
         return out
 

@@ -23,8 +23,6 @@ from ceres_tpu.problem import Problem
 @pytest.fixture(autouse=True)
 def _interpret_mode(monkeypatch):
     monkeypatch.setenv("CERES_TPU_PALLAS", "interpret")
-    # exercise the (opt-in) residual-only kernel variant in these tests
-    monkeypatch.setenv("CERES_TPU_RES_KERNEL", "1")
     yield
 
 

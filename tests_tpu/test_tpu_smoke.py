@@ -6,7 +6,7 @@ evaluators, values must match) on the actual accelerator:
 
 1. f32 on-chip cost/residual/gradient vs a CPU-f64 reference evaluation
 2. Pallas jac+residual kernel vs the on-chip XLA path
-3. residual-only kernel variant (opt-in) vs the on-chip XLA residual path
+3. residual-only kernel variant (default) vs the on-chip XLA residual path
 4. one fused ITERATIVE_SCHUR + SCHUR_JACOBI solve
 5. eval output stability across repeated dispatch (determinism)
 """
@@ -134,12 +134,10 @@ def test_pallas_jacobian_path_matches_xla_on_chip(prog):
 
 
 def test_residual_only_kernel_matches_xla_on_chip(prog):
-    """The round-2 residual-only kernel variant, A/B'd ON THE CHIP (it is
-    opt-in until this passes at benchmark scale)."""
+    """The residual-only kernel variant (default since round 4; on-chip
+    A/B: 11.6 vs 21.9 ms in-graph at 5M lanes) vs the XLA path."""
     program, arrays, state = prog
-    c_k, r_k, _ = _eval(
-        program, arrays, state, False, env={"CERES_TPU_RES_KERNEL": "1"}
-    )
+    c_k, r_k, _ = _eval(program, arrays, state, False)
     c_x, r_x, _ = _eval(
         program, arrays, state, False, env={"CERES_TPU_NO_PALLAS": "1"}
     )
