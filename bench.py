@@ -313,8 +313,10 @@ def phase_eval13682():
     ev_full, _ = _make_eval_fns(jax, program)
     arrays = program.arrays(jnp.float32)
     state = program.state_vector(jnp.float32)
-    # serial (pipeline=False): two in-flight output sets don't fit at 29M
-    jac_ms = _timed_evals(ev_full, arrays, state, 11, pipeline=False)
+    # depth-2: two in-flight output sets (~6.2 GB) now fit beside the
+    # inputs — the round-3 residual-path and gather changes freed the
+    # headroom — so the ~25 ms relay round trip overlaps device compute
+    jac_ms = _timed_evals(ev_full, arrays, state, 11, depth=2)
     emit(
         "bal13682_jac_residual_eval_ms",
         jac_ms,

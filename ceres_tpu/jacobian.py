@@ -78,20 +78,25 @@ def lane_chunks(n: int, chunk: int = None):
 ONEHOT_LO = 8
 
 
-def _onehot_precision(operand_dtype):
+def _onehot_precision(operand_dtype, reduce=False):
     """MXU precision for the one-hot matmuls standing in for gather/reduce.
 
     The TPU's DEFAULT matmul precision truncates f32 operands to bf16 —
     for a matmul used as a GATHER that silently quantizes the gathered
     VALUES (~4e-3 relative; caught by tests_tpu/test_differential.py), so
-    f32 operands require Precision.HIGHEST (exact; measured +~1.7-2.5 ms
-    per op at 5M lanes vs the broken default — benchmarks/
-    onehot_precision.py, which also shows HIGHEST beating a 3x-bf16-plane
-    decomposition). bf16 leaves (mixed-precision solves) keep DEFAULT:
-    they are already quantized by design and the one-hot side is exact in
-    bf16."""
+    f32 gathers use Precision.HIGHEST (exact; measured +~1.7 ms at 5M
+    lanes vs the broken default — benchmarks/onehot_precision.py, which
+    also shows HIGHEST beating a 3x-bf16-plane decomposition). REDUCES use
+    Precision.HIGH (bf16_3x): 6.3e-6 max relative element error measured
+    against f64 — below the f32 accumulation noise of the 10^3-term sums
+    these feed, deterministic, and ~20% cheaper than HIGHEST at the
+    BAL-13682 class count where the reduce is ~160 ms of the evaluation.
+    bf16 leaves (mixed-precision solves) keep DEFAULT: they are already
+    quantized by design and the one-hot side is exact in bf16."""
     if operand_dtype == jnp.bfloat16:
         return None
+    if reduce:
+        return jax.lax.Precision.HIGH
     return jax.lax.Precision.HIGHEST
 
 
@@ -132,7 +137,7 @@ def _onehot_reduce_rows(contrib, rows, num_out, acc_dtype):
     oh_hi = jax.nn.one_hot(rows_hi, A, dtype=contrib.dtype)  # [n, A]
     out = jnp.einsum(
         "Kn,na->Ka", ctmp, oh_hi, preferred_element_type=acc_dtype,
-        precision=_onehot_precision(contrib.dtype),
+        precision=_onehot_precision(contrib.dtype, reduce=True),
     )  # [k*B, A]
     out = jnp.transpose(out.reshape(k, B, A), (0, 2, 1)).reshape(k, A * B)
     return out[:, :num_out]
