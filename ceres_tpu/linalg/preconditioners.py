@@ -68,6 +68,16 @@ def _inverse_T(table, s, eps_scale=1e-14):
             (c, True), jnp.eye(s, dtype=table.dtype)
         )
     )(chol)
+    # SPD repair: a block pushed indefinite (e.g. by the bf16
+    # preconditioner assembly, schur.schur_prepare) NaNs its Cholesky —
+    # degrade it to the clamped-diagonal inverse, which stays SPD, instead
+    # of poisoning the PCG.
+    diag = jnp.diagonal(rows, axis1=1, axis2=2)  # [cnt, s]
+    dmax = jnp.max(jnp.abs(diag), axis=1, keepdims=True)
+    dclamp = jnp.maximum(diag, 1e-6 * jnp.maximum(dmax, 1e-30))
+    diag_inv = jax.vmap(jnp.diag)(1.0 / dclamp)  # [cnt, s, s]
+    ok = jnp.all(jnp.isfinite(inv), axis=(1, 2), keepdims=True)
+    inv = jnp.where(ok, jnp.where(jnp.isfinite(inv), inv, 0.0), diag_inv)
     return inv.reshape(cnt, s * s).T
 
 

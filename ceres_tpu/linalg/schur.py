@@ -27,6 +27,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from ..jacobian import BlockJacobian
 from ..types import LinearSolverType, PreconditionerType
 from .cg import conjugate_gradients
 from .preconditioners import BlockDiagSolver
@@ -139,10 +140,13 @@ def schur_jacobi_blocks(program, jac_e, jac_f, ete_solver, dsq_f):
         e_pm = meta.positions[jac_e.positions[gi][0]]
         te = e_pm.tangent_size
         # per-observation M^{-1}: gather inverse blocks by e-class row
-        # ([te*te, n]; a slice+broadcast under the owner bucket plan)
+        # ([te*te, n]; a slice+broadcast under the owner bucket plan).
+        # Cast to the leaf dtype so a bf16 assembly stays bf16 end-to-end
+        # (the f32-accumulating reduce restores determinism; see
+        # schur_prepare).
         minv = gather_T(
             jac_e.plan(gi, 0),
-            ete_solver.inv_tables[e_pm.t_cls].T,
+            ete_solver.inv_tables[e_pm.t_cls].T.astype(jac_e._dtype()),
             jac_e.t_rows[gi][0],
             jac_e.axis_name,
         ).reshape(te, te, n)
@@ -150,10 +154,10 @@ def schur_jacobi_blocks(program, jac_e, jac_f, ete_solver, dsq_f):
         if scale_tables is not None:
             se_lane = gather_T(
                 jac_e.plan(gi, 0),
-                scale_tables[e_pm.t_cls],
+                scale_tables[e_pm.t_cls].astype(jac_e._dtype()),
                 jac_e.t_rows[gi][0],
                 jac_e.axis_name,
-            )  # [te, n]
+            )  # [te, n], leaf dtype (keeps a bf16 assembly bf16)
             ej = ej * se_lane[None]
         for vpos, (f_jac, f_tr) in enumerate(
             zip(jac_f.jac_groups[gi], jac_f.t_rows[gi])
@@ -228,15 +232,45 @@ def schur_prepare(program, options, jac_s):
             program, e_gram0, ridge * colnorm2 * e_mask
         )
         zero = jnp.zeros_like(colnorm2)
-        p0 = schur_jacobi_blocks(program, jac_e, jac_f, ete0, zero)
+        # f32 solves assemble the preconditioner from bf16 Jacobian reads:
+        # the preconditioner is an approximation by definition (the
+        # reference's clustered variants drop whole terms), a ~4e-3 entry
+        # perturbation only moves the PCG iteration count at the margin,
+        # and the f32-accumulating reduce keeps the tables deterministic.
+        # Halves the HBM read of the [81, n] correction build — the
+        # dominant prepare cost (74.7 ms round 3). A block the
+        # perturbation pushes indefinite degrades to its clamped diagonal
+        # inverse (preconditioners._inverse_T repair) instead of NaN.
+        # f64 (reference-accuracy mode) keeps the exact assembly.
+        bf16_ok = jac_s._dtype() == jnp.float32
+        p0 = schur_jacobi_blocks(
+            program,
+            jac_e.astype(jnp.bfloat16) if bf16_ok else jac_e,
+            jac_f.astype(jnp.bfloat16) if bf16_ok else jac_f,
+            ete0,
+            zero,
+        )
     elif precond == PreconditionerType.JACOBI:
-        p0 = jac_f.block_diag_jtj(dsq=None)
+        jf = (
+            jac_f.astype(jnp.bfloat16)
+            if jac_s._dtype() == jnp.float32
+            else jac_f
+        )
+        p0 = jf.block_diag_jtj(dsq=None)
     else:  # IDENTITY
         p0 = None
+    # The PCG matvec's scale-materialized (and, under mixed precision,
+    # bf16-cast) Jacobian leaves are radius-independent too — cache them so
+    # rejected-step retries skip the materialize pass. No extra peak
+    # memory: schur_finish previously built the same copy transiently.
+    jac_mv = jac_s.materialize_scale()
+    if getattr(options, "use_mixed_precision_solves", False):
+        jac_mv = jac_mv.astype(jnp.bfloat16)
     return {
         "colnorm2": colnorm2,
         "e_gram0": list(e_gram0),
         "p0": None if p0 is None else list(p0),
+        "jac_mv_groups": jac_mv.jac_groups,
     }
 
 
@@ -267,13 +301,21 @@ def schur_finish(program, options, jac_s, res_groups, grad_s, dsq, cache):
     et2 = jac_e.right_multiply(t2)
     rhs = -g_f + jac_f.left_multiply(et2)
 
-    jac_m = jac_s.materialize_scale()
-    jac_e_m, jac_f_m = schur_views(program, jac_m)
-    if getattr(options, "use_mixed_precision_solves", False):
-        jac_e_mv = jac_e_m.astype(jnp.bfloat16)
-        jac_f_mv = jac_f_m.astype(jnp.bfloat16)
+    mv_groups = cache.get("jac_mv_groups")
+    if mv_groups is not None:
+        jac_m = BlockJacobian(
+            program,
+            mv_groups,
+            jac_s.t_rows,
+            jac_s.axis_name,
+            jac_s.positions,
+            jac_s.shard_view,
+        )
     else:
-        jac_e_mv, jac_f_mv = jac_e_m, jac_f_m
+        jac_m = jac_s.materialize_scale()
+        if getattr(options, "use_mixed_precision_solves", False):
+            jac_m = jac_m.astype(jnp.bfloat16)
+    jac_e_mv, jac_f_mv = schur_views(program, jac_m)
     dsq_f_tv = jac_s.tvec(dsq_f)
 
     def s_apply_t(y_tv):

@@ -201,6 +201,16 @@ def lane_eval(jaxpr, consts, args, C):
             dim = eqn.params["dimension"]
             ops = [_promote(i, vi.aval.shape, C) for i, vi in zip(ins, eqn.invars)]
             write(eqn.outvars[0], _LaneVal(jax.lax.concatenate(ops, dim), True))
+        elif name == "pad":
+            # block-diagonal construction (e.g. ProductManifold
+            # plus_jacobian) pads sub-Jacobians with zeros; the lane axis
+            # is never padded
+            if ins[1].lane:
+                raise NotImplementedError("pad with lane-varying value")
+            cfg = tuple(eqn.params["padding_config"]) + ((0, 0, 0),)
+            op = _promote(ins[0], eqn.invars[0].aval.shape, C)
+            pval = jnp.asarray(ins[1].val).astype(op.dtype).reshape(())
+            write(eqn.outvars[0], _LaneVal(jax.lax.pad(op, pval, cfg), True))
         elif name in ("reduce_sum", "reduce_max", "reduce_min", "reduce_prod"):
             out = eqn.primitive.bind(ins[0].val, axes=tuple(eqn.params["axes"]))
             write(eqn.outvars[0], _LaneVal(out, True))

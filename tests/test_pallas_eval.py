@@ -289,3 +289,21 @@ def test_residual_only_kernel_with_loss_scales_residuals():
     assert abs(float(c1) - float(c2)) <= 1e-4 * (1.0 + abs(float(c2)))
     for a, b in zip(r1, r2):
         np.testing.assert_allclose(a, b, rtol=5e-5, atol=5e-5)
+
+
+def test_quaternion_manifold_group_matches_xla_path():
+    """Product-manifold (Quaternion x Euclidean) camera blocks: the
+    plus-Jacobian chain rule is traced into the kernel, including the
+    `pad` ops of the block-diagonal construction (lane rule added after
+    the round-4 differential tier found the group silently falling back)."""
+    bal = synthetic_bal(6, 40, 150, seed=4)
+    problem, _, _ = build_ba_problem(
+        bal, use_quaternions=True, use_manifolds=True
+    )
+    program = problem.compile()
+    arrays = program.arrays(jnp.float32)
+    assert any(
+        pallas_eval.group_kernel(m, g, jnp.float32, True) is not None
+        for m, g in zip(program.groups, arrays["groups"])
+    )
+    _assert_close(*_eval_both(program))
