@@ -232,31 +232,14 @@ def schur_prepare(program, options, jac_s):
             program, e_gram0, ridge * colnorm2 * e_mask
         )
         zero = jnp.zeros_like(colnorm2)
-        # f32 solves assemble the preconditioner from bf16 Jacobian reads:
-        # the preconditioner is an approximation by definition (the
-        # reference's clustered variants drop whole terms), a ~4e-3 entry
-        # perturbation only moves the PCG iteration count at the margin,
-        # and the f32-accumulating reduce keeps the tables deterministic.
-        # Halves the HBM read of the [81, n] correction build — the
-        # dominant prepare cost (74.7 ms round 3). A block the
-        # perturbation pushes indefinite degrades to its clamped diagonal
-        # inverse (preconditioners._inverse_T repair) instead of NaN.
-        # f64 (reference-accuracy mode) keeps the exact assembly.
-        bf16_ok = jac_s._dtype() == jnp.float32
-        p0 = schur_jacobi_blocks(
-            program,
-            jac_e.astype(jnp.bfloat16) if bf16_ok else jac_e,
-            jac_f.astype(jnp.bfloat16) if bf16_ok else jac_f,
-            ete0,
-            zero,
-        )
+        # NOTE: a bf16 assembly of these tables was measured (round 4) and
+        # REJECTED: the ~4e-3 entry noise degraded this preconditioner —
+        # which converges BAL-1778 PCG in ~3 iterations — to ~6.6 mean
+        # iterations, costing ~60 ms/LM-iteration against a ~25 ms
+        # assembly saving. Exact f32/f64 assembly stays.
+        p0 = schur_jacobi_blocks(program, jac_e, jac_f, ete0, zero)
     elif precond == PreconditionerType.JACOBI:
-        jf = (
-            jac_f.astype(jnp.bfloat16)
-            if jac_s._dtype() == jnp.float32
-            else jac_f
-        )
-        p0 = jf.block_diag_jtj(dsq=None)
+        p0 = jac_f.block_diag_jtj(dsq=None)
     else:  # IDENTITY
         p0 = None
     # The PCG matvec's scale-materialized (and, under mixed precision,
