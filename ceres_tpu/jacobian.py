@@ -143,6 +143,18 @@ def _onehot_reduce_rows(contrib, rows, num_out, acc_dtype):
     return out[:, :num_out]
 
 
+def use_onehot_kernel(plan, n, dtype):
+    """True when the fused Pallas gather/reduce kernels (pallas_onehot.py)
+    should replace the XLA one-hot matmuls for this (plan, size, dtype)."""
+    if plan is None or plan[0] != "onehot":
+        return False
+    if dtype not in (jnp.float32, jnp.bfloat16):
+        return False
+    from . import pallas_onehot
+
+    return n >= pallas_onehot.MIN_LANES and pallas_onehot.enabled()
+
+
 def gather_T(plan, table, rows, axis_name=None):
     """Gather class-table rows into transposed form [s, n].
 
@@ -562,8 +574,16 @@ class BlockJacobian:
                 if pm.t_cls < 0:
                     continue
                 t = pm.tangent_size
+                plan = self.plan(gi, vpos)
+                if use_onehot_kernel(plan, n, leaf_dt):
+                    from .pallas_onehot import gather_contract
+
+                    acc = acc + gather_contract(
+                        jac, tr, tv[pm.t_cls].astype(leaf_dt), r
+                    ).astype(acc_dt)
+                    continue
                 vg = gather_T_t(
-                    self.plan(gi, vpos),
+                    plan,
                     tv[pm.t_cls].astype(leaf_dt),
                     tr,
                     self.axis_name,
@@ -592,9 +612,17 @@ class BlockJacobian:
                 if pm.t_cls < 0:
                     continue
                 t = pm.tangent_size
+                plan = self.plan(gi, vpos)
+                if use_onehot_kernel(plan, n, leaf_dt):
+                    from .pallas_onehot import contract_reduce
+
+                    acc[pm.t_cls] = acc[pm.t_cls] + contract_reduce(
+                        jac, tr, u, acc[pm.t_cls].shape[1], r
+                    ).astype(acc_dt)
+                    continue
                 contrib = (jac.reshape(r, t, n) * u[:, None, :]).sum(axis=0)
                 acc[pm.t_cls] = acc[pm.t_cls] + reduce_T(
-                    self.plan(gi, vpos),
+                    plan,
                     contrib,
                     tr,
                     acc[pm.t_cls].shape[1],
@@ -625,8 +653,16 @@ class BlockJacobian:
                 if pm.t_cls < 0:
                     continue
                 t = pm.tangent_size
+                plan = self.plan(gi, vpos)
+                if use_onehot_kernel(plan, n, leaf_dt):
+                    from .pallas_onehot import gather_contract
+
+                    acc = acc + gather_contract(
+                        jac, tr, vt[pm.t_cls].T.astype(leaf_dt), r
+                    ).astype(acc_dt)
+                    continue
                 vg = gather_T(
-                    self.plan(gi, vpos),
+                    plan,
                     vt[pm.t_cls].astype(leaf_dt),
                     tr,
                     self.axis_name,
@@ -657,9 +693,17 @@ class BlockJacobian:
                     continue
                 t = pm.tangent_size
                 cnt = self.program.tangent_class_counts[pm.t_cls]
+                plan = self.plan(gi, vpos)
+                if use_onehot_kernel(plan, n, leaf_dt):
+                    from .pallas_onehot import contract_reduce
+
+                    acc[pm.t_cls] = acc[pm.t_cls] + contract_reduce(
+                        jac, tr, u, acc[pm.t_cls].shape[1], r
+                    ).astype(acc_dt)
+                    continue
                 contrib = (jac.reshape(r, t, n) * u[:, None, :]).sum(axis=0)
                 acc[pm.t_cls] = acc[pm.t_cls] + reduce_T(
-                    self.plan(gi, vpos),
+                    plan,
                     contrib,
                     tr,
                     acc[pm.t_cls].shape[1],
