@@ -114,7 +114,10 @@ def main():
         ete = make_ete_solver(program, jac_e, dsq_e)
         blocks = schur_jacobi_blocks(program, jac_e, jac_f, ete, dsq_f)
         prec_tables = dict(BlockDiagSolver(program, blocks).inv_tables)
-        dsq_f_tv = jac.tvec(dsq_f)
+        from ceres_tpu.linalg.schur import _pure_class_split, _shrink_tvec
+
+        f_set = _pure_class_split(program)[0]
+        dsq_f_tv = _shrink_tvec(jac.tvec(dsq_f), f_set)
         return dict(ete.inv_tables), prec_tables, dsq_f_tv
 
     ete_tables, prec_tables, dsq_f_tv = setup(jac)
@@ -125,12 +128,20 @@ def main():
         ),
         jnp.float32,
     ) * jnp.asarray(f_np, jnp.float32)
-    y_tv = jax.jit(lambda j, v: j.tvec(v))(jac, y)
+    from ceres_tpu.linalg.schur import _pure_class_split as _pcs, _shrink_tvec as _sh
+    _fset = _pcs(program)[0]
+    y_tv = jax.jit(lambda j, v: _sh(j.tvec(v), _fset))(jac, y)
 
     def views(jac):
         return schur_views(program, jac)
 
     # ---- realistic PCG-iteration bodies (dsq_f_tv precomputed) ---------
+    # f-only CG vectors (schur._pure_class_split): e-class tables ride as
+    # zero-width stand-ins, exactly like the production tvec PCG
+    from ceres_tpu.linalg.schur import _pure_class_split, _shrink_tvec
+
+    f_set = _pure_class_split(program)[0]
+
     def s_apply(v_tv, jac, ete_tables, dsq_f_tv):
         jac_e, jac_f = views(jac)
         ete = BlockDiagSolver.from_inverse_tables(program, ete_tables)
@@ -138,7 +149,7 @@ def main():
         t2 = ete.apply_t(jac_e.left_multiply_t(t1))
         et2 = jac_e.right_multiply_t(t2)
         diff = [a - b for a, b in zip(t1, et2)]
-        out = jac_f.left_multiply_t(diff)
+        out = _shrink_tvec(jac_f.left_multiply_t(diff), f_set)
         return [o + d * v for o, d, v in zip(out, dsq_f_tv, v_tv)]
 
     def pcg_body(v_tv, jac, ete_tables, prec_tables, dsq_f_tv):
@@ -163,7 +174,7 @@ def main():
     def cam_half(v_tv, jac):
         _, jac_f = views(jac)
         t1 = jac_f.right_multiply_t(v_tv)
-        return jac_f.left_multiply_t(t1)
+        return _shrink_tvec(jac_f.left_multiply_t(t1), f_set)
 
     timed_loop("cam_F_then_Ft", cam_half, y_tv, jac, reps=args.reps)
 

@@ -135,7 +135,9 @@ class BlockDiagSolver:
         out = []
         for cls, t in enumerate(tv):
             inv = self.inv_tables.get(cls)
-            if inv is None:
+            if inv is None or t.shape[1] == 0:
+                # zero-width stand-ins: the f-only CG vector form
+                # (schur._shrink_tvec) passes through untouched
                 out.append(t)
                 continue
             s = t.shape[0]

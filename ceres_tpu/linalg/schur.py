@@ -54,6 +54,47 @@ def _e_classes(program):
     }
 
 
+def _pure_class_split(program):
+    """(f_classes, e_classes) when every tangent class is entirely on one
+    side of the Schur partition (the BA case), else None.
+
+    Enables the f-only CG vector optimization: the PCG on the reduced
+    camera system carries zero-width stand-ins for the e-class tables, so
+    the per-iteration vector algebra, dots, and preconditioner apply never
+    touch the (always-zero) [s_e, num_points] tables — measured ~2.5 ms
+    per PCG iteration of pure overhead at BAL-1778 scale.
+    """
+    import numpy as np
+
+    e_mask, f_mask = program.schur_tangent_masks()
+    f_set, e_set = set(), set()
+    for cls in range(len(program.tangent_class_sizes)):
+        base, cnt, s = program.tangent_class_slice(cls)
+        seg = np.asarray(f_mask[base : base + cnt * s], dtype=bool)
+        if seg.size == 0 or seg.all():
+            f_set.add(cls)
+        elif not seg.any():
+            e_set.add(cls)
+        else:
+            return None
+    return f_set, e_set
+
+
+def _shrink_tvec(tv, f_set):
+    """Replace e-class tables with zero-width stand-ins [s, 0]."""
+    return [
+        t if cls in f_set else t[:, :0] for cls, t in enumerate(tv)
+    ]
+
+
+def _expand_tvec(tv, f_set, widths):
+    """Inverse of _shrink_tvec (zero-filled e tables)."""
+    return [
+        t if cls in f_set else jnp.zeros((t.shape[0], widths[cls]), t.dtype)
+        for cls, t in enumerate(tv)
+    ]
+
+
 def add_dsq_T(program, tables, dsq):
     """tables[cls] [s*s, cnt] += diag(dsq) per block (the cheap
     dsq-dependent half of a Gram build)."""
@@ -274,10 +315,15 @@ def schur_finish(program, options, jac_s, res_groups, grad_s, dsq, cache):
 
     ete = ete_solver_from_gram(program, cache["e_gram0"], dsq_e)
 
+    split0 = _pure_class_split(program)
     prec = None
     if cache["p0"] is not None:
         blocks = add_dsq_T(program, list(cache["p0"]), dsq_f)
-        prec = BlockDiagSolver(program, blocks)
+        prec = BlockDiagSolver(
+            program,
+            blocks,
+            only_classes=split0[0] if split0 is not None else None,
+        )
 
     # rhs = -g_f + F^T E M^{-1} g_e
     t2 = ete(g_e)
@@ -300,6 +346,13 @@ def schur_finish(program, options, jac_s, res_groups, grad_s, dsq, cache):
             jac_m = jac_m.astype(jnp.bfloat16)
     jac_e_mv, jac_f_mv = schur_views(program, jac_m)
     dsq_f_tv = jac_s.tvec(dsq_f)
+    b_tv = jac_s.tvec(rhs)
+    widths = [t.shape[1] for t in b_tv]
+    split = _pure_class_split(program)
+    f_set = split[0] if split is not None else None
+    if f_set is not None:
+        dsq_f_tv = _shrink_tvec(dsq_f_tv, f_set)
+        b_tv = _shrink_tvec(b_tv, f_set)
 
     def s_apply_t(y_tv):
         t1 = jac_f_mv.right_multiply_t(y_tv)
@@ -307,18 +360,23 @@ def schur_finish(program, options, jac_s, res_groups, grad_s, dsq, cache):
         et2 = jac_e_mv.right_multiply_t(t2)
         diff = [a - b for a, b in zip(t1, et2)]
         out = jac_f_mv.left_multiply_t(diff)
+        if f_set is not None:
+            out = _shrink_tvec(out, f_set)
         return [o + d * y for o, d, y in zip(out, dsq_f_tv, y_tv)]
 
     result = conjugate_gradients(
         matvec=s_apply_t,
-        b=jac_s.tvec(rhs),
+        b=b_tv,
         preconditioner=prec.apply_t if prec is not None else None,
         max_iterations=options.max_linear_solver_iterations,
         min_iterations=options.min_linear_solver_iterations,
         tolerance=0.0,
         q_tolerance=options.eta,
     )
-    dx_f = jac_s.tvec_flat(result.x) * f_mask
+    x_tv = result.x
+    if f_set is not None:
+        x_tv = _expand_tvec(x_tv, f_set, widths)
+    dx_f = jac_s.tvec_flat(x_tv) * f_mask
 
     # back-substitute e-part: dx_e = -M^{-1} (g_e + E^T F dx_f)
     fdx = jac_f.right_multiply(dx_f)
@@ -521,6 +579,16 @@ def schur_solve(program, options, jac_s, res_groups, grad_s, dsq):
             else:
                 jac_e_mv_m, jac_f_mv_m = jac_e_m, jac_f_m
             dsq_f_tv = jac_s.tvec(dsq_f)
+            b_tv = jac_s.tvec(rhs)
+            widths = [t.shape[1] for t in b_tv]
+            split = _pure_class_split(program)
+            f_set = split[0] if split is not None else None
+            x0_tv = None if x0 is None else jac_s.tvec(x0)
+            if f_set is not None:
+                dsq_f_tv = _shrink_tvec(dsq_f_tv, f_set)
+                b_tv = _shrink_tvec(b_tv, f_set)
+                if x0_tv is not None:
+                    x0_tv = _shrink_tvec(x0_tv, f_set)
 
             def s_apply_t(y_tv):
                 t1 = jac_f_mv_m.right_multiply_t(y_tv)
@@ -528,21 +596,26 @@ def schur_solve(program, options, jac_s, res_groups, grad_s, dsq):
                 et2 = jac_e_mv_m.right_multiply_t(t2)
                 diff = [a - b for a, b in zip(t1, et2)]
                 out = jac_f_mv_m.left_multiply_t(diff)
+                if f_set is not None:
+                    out = _shrink_tvec(out, f_set)
                 return [
                     o + d * y for o, d, y in zip(out, dsq_f_tv, y_tv)
                 ]
 
             result = conjugate_gradients(
                 matvec=s_apply_t,
-                b=jac_s.tvec(rhs),
-                x0=None if x0 is None else jac_s.tvec(x0),
+                b=b_tv,
+                x0=x0_tv,
                 preconditioner=prec.apply_t if prec is not None else None,
                 max_iterations=options.max_linear_solver_iterations,
                 min_iterations=options.min_linear_solver_iterations,
                 tolerance=0.0,
                 q_tolerance=options.eta,
             )
-            dx_f = jac_s.tvec_flat(result.x) * f_mask
+            x_tv = result.x
+            if f_set is not None:
+                x_tv = _expand_tvec(x_tv, f_set, widths)
+            dx_f = jac_s.tvec_flat(x_tv) * f_mask
             lin_iters = result.iterations
         else:
             result = conjugate_gradients(

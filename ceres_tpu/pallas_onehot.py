@@ -161,11 +161,11 @@ def _contract_reduce_kernel(rows_ref, jac_ref, u_ref, out_ref, *, n, r, t):
             axis=0
         )
     # tail chunk: lanes past n carry unspecified pad values — zero them so
-    # they cannot contaminate the matmul (0 * one_hot == 0 everywhere)
-    lane = i * C + jax.lax.broadcasted_iota(jnp.int32, (1, C), 1)[0]
-    contrib = jnp.where(
-        (lane < n)[None, :], contrib, jnp.zeros((), contrib.dtype)
-    )
+    # they cannot contaminate the matmul (0 * one_hot == 0 everywhere).
+    # The mask is generated at contrib's full shape: Mosaic cannot
+    # relayout a broadcast i1 vector (measured failure on bf16 leaves).
+    lane2 = i * C + jax.lax.broadcasted_iota(jnp.int32, contrib.shape, 1)
+    contrib = jnp.where(lane2 < n, contrib, jnp.zeros((), contrib.dtype))
     iota_b = jax.lax.broadcasted_iota(jnp.int32, (B, C), 0)
     oh_lo = (iota_b == lo[None, :]).astype(contrib.dtype)
     ctmp = (contrib[:, None, :] * oh_lo[None]).reshape(t * B, C)
