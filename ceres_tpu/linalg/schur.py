@@ -287,15 +287,28 @@ def schur_prepare(program, options, jac_s):
     # bf16-cast) Jacobian leaves are radius-independent too — cache them so
     # rejected-step retries skip the materialize pass. No extra peak
     # memory: schur_finish previously built the same copy transiently.
+    # When the fused single-pass S·y kernel is eligible
+    # (pallas_schur.sy_meta), its per-segment operand layout REPLACES the
+    # cached leaves (same bytes, segment-padded).
     jac_mv = jac_s.materialize_scale()
     if getattr(options, "use_mixed_precision_solves", False):
         jac_mv = jac_mv.astype(jnp.bfloat16)
-    return {
+    cache = {
         "colnorm2": colnorm2,
         "e_gram0": list(e_gram0),
         "p0": None if p0 is None else list(p0),
-        "jac_mv_groups": jac_mv.jac_groups,
     }
+    from .pallas_schur import build_sy_arrays, sy_meta
+
+    meta_sy = sy_meta(program)
+    if meta_sy is not None:
+        jac_e_m, jac_f_m = schur_views(program, jac_mv)
+        cache["sy_arrs"] = build_sy_arrays(
+            program, jac_e_m, jac_f_m, meta_sy
+        )
+    else:
+        cache["jac_mv_groups"] = jac_mv.jac_groups
+    return cache
 
 
 def schur_finish(program, options, jac_s, res_groups, grad_s, dsq, cache):
@@ -330,21 +343,6 @@ def schur_finish(program, options, jac_s, res_groups, grad_s, dsq, cache):
     et2 = jac_e.right_multiply(t2)
     rhs = -g_f + jac_f.left_multiply(et2)
 
-    mv_groups = cache.get("jac_mv_groups")
-    if mv_groups is not None:
-        jac_m = BlockJacobian(
-            program,
-            mv_groups,
-            jac_s.t_rows,
-            jac_s.axis_name,
-            jac_s.positions,
-            jac_s.shard_view,
-        )
-    else:
-        jac_m = jac_s.materialize_scale()
-        if getattr(options, "use_mixed_precision_solves", False):
-            jac_m = jac_m.astype(jnp.bfloat16)
-    jac_e_mv, jac_f_mv = schur_views(program, jac_m)
     dsq_f_tv = jac_s.tvec(dsq_f)
     b_tv = jac_s.tvec(rhs)
     widths = [t.shape[1] for t in b_tv]
@@ -354,15 +352,64 @@ def schur_finish(program, options, jac_s, res_groups, grad_s, dsq, cache):
         dsq_f_tv = _shrink_tvec(dsq_f_tv, f_set)
         b_tv = _shrink_tvec(b_tv, f_set)
 
-    def s_apply_t(y_tv):
-        t1 = jac_f_mv.right_multiply_t(y_tv)
-        t2 = ete.apply_t(jac_e_mv.left_multiply_t(t1))
-        et2 = jac_e_mv.right_multiply_t(t2)
-        diff = [a - b for a, b in zip(t1, et2)]
-        out = jac_f_mv.left_multiply_t(diff)
-        if f_set is not None:
-            out = _shrink_tvec(out, f_set)
-        return [o + d * y for o, d, y in zip(out, dsq_f_tv, y_tv)]
+    from .pallas_schur import build_minv_segments, sy_apply, sy_meta
+
+    meta_sy = sy_meta(program) if cache.get("sy_arrs") is not None else None
+    if meta_sy is not None:
+        # single-pass fused S·y kernel (pallas_schur.py): F and E stream
+        # once per matvec, t1 stays in VMEM
+        mv_dt = (
+            jnp.bfloat16
+            if getattr(options, "use_mixed_precision_solves", False)
+            else dtype
+        )
+        minv_segs = build_minv_segments(
+            ete.inv_tables[meta_sy["e_cls"]], meta_sy
+        )
+        f_cls = meta_sy["f_cls"]
+
+        def s_apply_t(y_tv):
+            out_f = sy_apply(
+                meta_sy, cache["sy_arrs"], minv_segs, y_tv[f_cls], mv_dt
+            )
+            w = y_tv[f_cls].shape[1]
+            if out_f.shape[1] < w:
+                out_f = jnp.pad(
+                    out_f, ((0, 0), (0, w - out_f.shape[1]))
+                )
+            return [
+                out_f + dsq_f_tv[cls] * y_tv[cls]
+                if cls == f_cls
+                else jnp.zeros_like(y_tv[cls])
+                for cls in range(len(y_tv))
+            ]
+
+    else:
+        mv_groups = cache.get("jac_mv_groups")
+        if mv_groups is not None:
+            jac_m = BlockJacobian(
+                program,
+                mv_groups,
+                jac_s.t_rows,
+                jac_s.axis_name,
+                jac_s.positions,
+                jac_s.shard_view,
+            )
+        else:
+            jac_m = jac_s.materialize_scale()
+            if getattr(options, "use_mixed_precision_solves", False):
+                jac_m = jac_m.astype(jnp.bfloat16)
+        jac_e_mv, jac_f_mv = schur_views(program, jac_m)
+
+        def s_apply_t(y_tv):
+            t1 = jac_f_mv.right_multiply_t(y_tv)
+            t2 = ete.apply_t(jac_e_mv.left_multiply_t(t1))
+            et2 = jac_e_mv.right_multiply_t(t2)
+            diff = [a - b for a, b in zip(t1, et2)]
+            out = jac_f_mv.left_multiply_t(diff)
+            if f_set is not None:
+                out = _shrink_tvec(out, f_set)
+            return [o + d * y for o, d, y in zip(out, dsq_f_tv, y_tv)]
 
     result = conjugate_gradients(
         matvec=s_apply_t,
@@ -590,17 +637,55 @@ def schur_solve(program, options, jac_s, res_groups, grad_s, dsq):
                 if x0_tv is not None:
                     x0_tv = _shrink_tvec(x0_tv, f_set)
 
-            def s_apply_t(y_tv):
-                t1 = jac_f_mv_m.right_multiply_t(y_tv)
-                t2 = ete.apply_t(jac_e_mv_m.left_multiply_t(t1))
-                et2 = jac_e_mv_m.right_multiply_t(t2)
-                diff = [a - b for a, b in zip(t1, et2)]
-                out = jac_f_mv_m.left_multiply_t(diff)
-                if f_set is not None:
-                    out = _shrink_tvec(out, f_set)
-                return [
-                    o + d * y for o, d, y in zip(out, dsq_f_tv, y_tv)
-                ]
+            from .pallas_schur import (
+                build_minv_segments,
+                build_sy_arrays,
+                sy_apply,
+                sy_meta,
+            )
+
+            meta_sy = sy_meta(program)
+            if meta_sy is not None:
+                mv_dt = (
+                    jnp.bfloat16
+                    if getattr(options, "use_mixed_precision_solves", False)
+                    else dtype
+                )
+                sy_arrs = build_sy_arrays(
+                    program, jac_e_mv_m, jac_f_mv_m, meta_sy
+                )
+                minv_segs = build_minv_segments(
+                    ete.inv_tables[meta_sy["e_cls"]], meta_sy
+                )
+                f_cls = meta_sy["f_cls"]
+
+                def s_apply_t(y_tv):
+                    out = sy_apply(
+                        meta_sy, sy_arrs, minv_segs, y_tv[f_cls], mv_dt
+                    )
+                    w = y_tv[f_cls].shape[1]
+                    if out.shape[1] < w:
+                        out = jnp.pad(out, ((0, 0), (0, w - out.shape[1])))
+                    return [
+                        out + dsq_f_tv[cls] * y_tv[cls]
+                        if cls == f_cls
+                        else jnp.zeros_like(y_tv[cls])
+                        for cls in range(len(y_tv))
+                    ]
+
+            else:
+
+                def s_apply_t(y_tv):
+                    t1 = jac_f_mv_m.right_multiply_t(y_tv)
+                    t2 = ete.apply_t(jac_e_mv_m.left_multiply_t(t1))
+                    et2 = jac_e_mv_m.right_multiply_t(t2)
+                    diff = [a - b for a, b in zip(t1, et2)]
+                    out = jac_f_mv_m.left_multiply_t(diff)
+                    if f_set is not None:
+                        out = _shrink_tvec(out, f_set)
+                    return [
+                        o + d * y for o, d, y in zip(out, dsq_f_tv, y_tv)
+                    ]
 
             result = conjugate_gradients(
                 matvec=s_apply_t,
