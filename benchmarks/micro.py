@@ -124,11 +124,8 @@ def bench_eval(program, n):
                 if hasattr(m, "_pallas_kernels"):
                     del m._pallas_kernels
 
-    run("default", {})
+    run("default", {})  # fused Pallas kernels (incl. residual-only path)
     run("xla", {"CERES_TPU_NO_PALLAS": "1"})
-    if jax.default_backend() == "tpu":
-        # unvalidated-on-TPU variant, kept opt-in (see evaluator.py)
-        run("res_kernel", {})  # kernel is the default residual path now
 
 
 def bench_reduce(program, n):

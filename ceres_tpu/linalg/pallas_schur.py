@@ -53,10 +53,12 @@ def _f32(x):
 
 def _chunk_points(d, A, rt_f):
     """Point-block size C: the stored one-hots [d, A, C] (bf16) must fit
-    ~4 MB of VMEM and the double-buffered F block ~3 MB."""
+    ~4 MB of VMEM and the double-buffered F block ~3 MB. Capped at 2048 so
+    the preconditioner-build kernel (ctmp [tf*tf*B, C]) can reuse the same
+    segment arrays."""
     c_oh = (4 * 1024 * 1024) // max(1, d * A * 2)
     c_f = (3 * 1024 * 1024) // max(1, 2 * rt_f * d * 4)
-    c = min(c_oh, c_f, 4096)
+    c = min(c_oh, c_f, 2048)
     return max(128, (c // 128) * 128)
 
 
@@ -363,3 +365,133 @@ def sy_apply(meta, seg_arrays, minv_segs, y_table, dtype):
         acc = part if acc is None else acc + part
     tf, A = meta["tf"], meta["A"]
     return _unpack_table(acc, tf, A, meta["ncols_f"])
+
+
+# ------------------------------------------------------------------ #
+# fused SCHUR_JACOBI diagonal build (the prepare-phase hot spot)
+# ------------------------------------------------------------------ #
+
+
+def _p0_kernel(rows_ref, f_ref, e_ref, minv_ref, out_ref, *, d, r, te, tf, A):
+    """Per camera block c:
+        P_c = sum_lanes outer(F_lane) - (E'F)' M0^{-1} (E'F)  per lane,
+    one-hot-reduced into [tf*tf*B, A] (accumulated across the grid).
+    reference: schur_jacobi_preconditioner.cc via the schur_eliminator's
+    chunk-diagonal assembly; composition as in schur.schur_jacobi_blocks.
+    f32-exact: 3-plane contributions, M0 applied in f32.
+    """
+    from jax.experimental import pallas as pl
+
+    C = minv_ref.shape[1]
+    k2 = tf * tf
+    kb = k2 * B
+    gi = pl.program_id(0)
+    # process in lane sub-chunks: the [kb, SC] intermediates at full C
+    # exceed the 16 MB VMEM scope (measured: 16.31M at d=9, C=2048)
+    acc = jnp.zeros((kb, A), jnp.float32)
+    for j in range(d):
+        for s0 in range(0, C, 1024):
+            SC = min(1024, C - s0)
+            sl = slice(s0, s0 + SC)
+            fj = f_ref[j, :, sl].reshape(r, tf, SC)
+            ej = e_ref[j, :, sl].reshape(r, te, SC)
+            m3 = minv_ref[:, sl].reshape(te, te, SC)
+            # outer(F) [tf, tf, SC]
+            outer = sum(
+                fj[ri][:, None, :] * fj[ri][None, :, :] for ri in range(r)
+            )
+            # etf[e, f, SC] = sum_r E[r,e] F[r,f]
+            etf = sum(
+                ej[ri][:, None, :] * fj[ri][None, :, :] for ri in range(r)
+            )
+            # minvetf[e, f, SC] = sum_e2 M0[e, e2] etf[e2, f]
+            minvetf = sum(
+                m3[:, e2, :][:, None, :] * etf[e2][None, :, :]
+                for e2 in range(te)
+            )
+            # corr[a, b, SC] = sum_e etf[e, a] minvetf[e, b]
+            corr = sum(
+                etf[e][:, None, :] * minvetf[e][None, :, :]
+                for e in range(te)
+            )
+            total = (outer - corr).reshape(k2, SC)
+            rows = rows_ref[j, 0, sl]
+            hi = rows // B
+            lo = rows % B
+            iota_b = jax.lax.broadcasted_iota(jnp.int32, (B, SC), 0)
+            oh_lo = (iota_b == lo[None, :]).astype(jnp.float32)
+            ctmp = (total[:, None, :] * oh_lo[None]).reshape(kb, SC)
+            iota_a = jax.lax.broadcasted_iota(jnp.int32, (A, SC), 0)
+            oh_hi = (iota_a == hi[None, :]).astype(jnp.bfloat16)
+            # serialized planes ([kb, SC] rows already saturate the MXU;
+            # keeping all three live doubles peak VMEM)
+            res = ctmp
+            for _ in range(3):
+                hi_bits = jax.lax.bitcast_convert_type(
+                    res, jnp.uint32
+                ) & jnp.uint32(0xFFFF0000)
+                p = jax.lax.bitcast_convert_type(hi_bits, jnp.float32)
+                acc = acc + jax.lax.dot_general(
+                    p.astype(jnp.bfloat16),
+                    oh_hi,
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                res = res - p
+
+    @pl.when(gi == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    out_ref[:] += acc
+
+
+def p0_apply(meta, seg_arrays, minv0_segs):
+    """SCHUR_JACOBI diagonal [tf*tf, cnt_f] (no LM diagonal) from f32
+    segment arrays + the ridge-(E'E)^{-1} segment slices."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from ..pallas_eval import _interpret_mode
+
+    r, te, tf, A = meta["r"], meta["te"], meta["tf"], meta["A"]
+    kb = tf * tf * B
+    acc = None
+    for seg_meta, (F3, E3, rows3), minv in zip(
+        meta["segs"], seg_arrays, minv0_segs
+    ):
+        (_ls, _n_seg, n_pad, d, _out_row, C) = seg_meta
+        rt_f, rt_e = F3.shape[1], E3.shape[1]
+        kern = functools.partial(
+            _p0_kernel, d=d, r=r, te=te, tf=tf, A=A
+        )
+        part = pl.pallas_call(
+            kern,
+            grid=(n_pad // C,),
+            in_specs=[
+                pl.BlockSpec(
+                    (d, 1, C), lambda k: (0, 0, k), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec(
+                    (d, rt_f, C),
+                    lambda k: (0, 0, k),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (d, rt_e, C),
+                    lambda k: (0, 0, k),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (te * te, C), lambda k: (0, k), memory_space=pltpu.VMEM
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (kb, A), lambda k: (0, 0), memory_space=pltpu.VMEM
+            ),
+            out_shape=jax.ShapeDtypeStruct((kb, A), jnp.float32),
+            interpret=_interpret_mode(),
+        )(rows3, F3, E3, minv)
+        acc = part if acc is None else acc + part
+    tbl = _unpack_table(acc, tf * tf, A, meta["ncols_f"])
+    return tbl[:, : meta["cnt_f"]]

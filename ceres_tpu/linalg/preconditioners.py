@@ -39,12 +39,32 @@ def _inverse_T(table, s, eps_scale=1e-14):
     def e(i, j):
         return a[i * s + j]
 
+    def _repair_small(inv):
+        """SPD repair for the closed-form classes (mirrors the general
+        branch): a block pushed indefinite/ill-conditioned (e.g. by bf16
+        preconditioner assembly) can yield non-finite cofactor inverses —
+        degrade those blocks to the clamped-diagonal inverse instead of
+        poisoning the PCG."""
+        diag = jnp.stack([e(i, i) for i in range(s)])  # [s, cnt]
+        dmax = jnp.max(jnp.abs(diag), axis=0, keepdims=True)
+        dclamp = jnp.maximum(diag, 1e-6 * jnp.maximum(dmax, 1e-30))
+        rows = []
+        for i in range(s):
+            for j in range(s):
+                rows.append(
+                    1.0 / dclamp[i] if i == j else jnp.zeros_like(dclamp[0])
+                )
+        diag_inv = jnp.stack(rows)
+        ok = jnp.all(jnp.isfinite(inv), axis=0, keepdims=True)
+        return jnp.where(ok, jnp.where(jnp.isfinite(inv), inv, 0.0), diag_inv)
+
     if s == 1:
-        return 1.0 / a
+        return _repair_small(1.0 / a)
     if s == 2:
         det = e(0, 0) * e(1, 1) - e(0, 1) * e(1, 0)
         det = jnp.where(det != 0, det, 1.0)
-        return jnp.stack([e(1, 1), -e(0, 1), -e(1, 0), e(0, 0)]) / det
+        inv = jnp.stack([e(1, 1), -e(0, 1), -e(1, 0), e(0, 0)]) / det
+        return _repair_small(inv)
     if s == 3:
         c00 = e(1, 1) * e(2, 2) - e(1, 2) * e(2, 1)
         c01 = e(0, 2) * e(2, 1) - e(0, 1) * e(2, 2)
@@ -57,7 +77,10 @@ def _inverse_T(table, s, eps_scale=1e-14):
         c22 = e(0, 0) * e(1, 1) - e(0, 1) * e(1, 0)
         det = e(0, 0) * c00 + e(0, 1) * c10 + e(0, 2) * c20
         det = jnp.where(det != 0, det, 1.0)
-        return jnp.stack([c00, c01, c02, c10, c11, c12, c20, c21, c22]) / det
+        inv = jnp.stack(
+            [c00, c01, c02, c10, c11, c12, c20, c21, c22]
+        ) / det
+        return _repair_small(inv)
     # general case: batched Cholesky inverse (classes this large are small
     # in count — e.g. 1778 9x9 camera blocks)
     rows = table.T.reshape(cnt, s, s)

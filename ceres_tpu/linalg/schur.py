@@ -254,9 +254,30 @@ def schur_prepare(program, options, jac_s):
     """
     from ..types import PreconditionerType
 
+    from .pallas_schur import (
+        build_minv_segments,
+        build_sy_arrays,
+        p0_apply,
+        sy_meta,
+    )
+
+    unsharded = jac_s.axis_name is None and not jac_s.shard_view
+    meta_sy = sy_meta(program) if unsharded else None
+    mixed = getattr(options, "use_mixed_precision_solves", False)
+
     jac_e, jac_f = schur_views(program, jac_s)
     colnorm2 = jac_s.squared_column_norms()
     e_gram0 = ete_gram_tables(program, jac_e)
+
+    jac_mv32 = None
+    if meta_sy is not None:
+        # f32 materialized segment arrays: shared by the fused S·y matvec
+        # (cast bf16 under mixed precision) and the fused preconditioner
+        # build (always f32 — bf16 assembly measured and REJECTED, see
+        # the SCHUR_JACOBI note below)
+        jac_mv32 = jac_s.materialize_scale()
+        jac_e_m32, jac_f_m32 = schur_views(program, jac_mv32)
+        sy_arrs32 = build_sy_arrays(program, jac_e_m32, jac_f_m32, meta_sy)
 
     precond = options.preconditioner_type
     if precond == PreconditionerType.SCHUR_JACOBI:
@@ -277,8 +298,20 @@ def schur_prepare(program, options, jac_s):
         # REJECTED: the ~4e-3 entry noise degraded this preconditioner —
         # which converges BAL-1778 PCG in ~3 iterations — to ~6.6 mean
         # iterations, costing ~60 ms/LM-iteration against a ~25 ms
-        # assembly saving. Exact f32/f64 assembly stays.
-        p0 = schur_jacobi_blocks(program, jac_e, jac_f, ete0, zero)
+        # assembly saving. Exact f32/f64 assembly stays (the fused kernel
+        # path is f32-exact via 3-plane contributions).
+        if meta_sy is not None:
+            minv0_segs = build_minv_segments(
+                ete0.inv_tables[meta_sy["e_cls"]], meta_sy
+            )
+            tbl = p0_apply(meta_sy, sy_arrs32, minv0_segs)
+            n_cls = len(program.tangent_class_sizes)
+            p0 = [
+                tbl if cls == meta_sy["f_cls"] else None
+                for cls in range(n_cls)
+            ]
+        else:
+            p0 = schur_jacobi_blocks(program, jac_e, jac_f, ete0, zero)
     elif precond == PreconditionerType.JACOBI:
         p0 = jac_f.block_diag_jtj(dsq=None)
     else:  # IDENTITY
@@ -290,24 +323,28 @@ def schur_prepare(program, options, jac_s):
     # When the fused single-pass S·y kernel is eligible
     # (pallas_schur.sy_meta), its per-segment operand layout REPLACES the
     # cached leaves (same bytes, segment-padded).
-    jac_mv = jac_s.materialize_scale()
-    if getattr(options, "use_mixed_precision_solves", False):
-        jac_mv = jac_mv.astype(jnp.bfloat16)
     cache = {
         "colnorm2": colnorm2,
         "e_gram0": list(e_gram0),
         "p0": None if p0 is None else list(p0),
     }
-    from .pallas_schur import build_sy_arrays, sy_meta
-
-    meta_sy = sy_meta(program)
     if meta_sy is not None:
-        jac_e_m, jac_f_m = schur_views(program, jac_mv)
-        cache["sy_arrs"] = build_sy_arrays(
-            program, jac_e_m, jac_f_m, meta_sy
-        )
-    else:
+        if mixed:
+            cache["sy_arrs"] = [
+                (f3.astype(jnp.bfloat16), e3.astype(jnp.bfloat16), r3)
+                for (f3, e3, r3) in sy_arrs32
+            ]
+        else:
+            cache["sy_arrs"] = sy_arrs32
+    elif unsharded:
+        jac_mv = jac_s.materialize_scale()
+        if mixed:
+            jac_mv = jac_mv.astype(jnp.bfloat16)
         cache["jac_mv_groups"] = jac_mv.jac_groups
+    # sharded: no leaf cache — the prepare cache crosses the shard_map
+    # boundary with replicated specs, and lane-sharded leaves are NOT
+    # replicated (check_vma correctly rejects it; caching them under a
+    # replicated spec was silently wrong). finish re-materializes.
     return cache
 
 
@@ -563,7 +600,37 @@ def schur_solve(program, options, jac_s, res_groups, grad_s, dsq):
                 return jnp.zeros_like(y).at[_fp].set(_sd @ y[_fp])
 
         if options.preconditioner_type == PreconditionerType.SCHUR_JACOBI:
-            blocks = schur_jacobi_blocks(program, jac_e, jac_f, ete, dsq_f)
+            from .pallas_schur import (
+                build_minv_segments as _minv_segs,
+                build_sy_arrays as _sy_arrs,
+                p0_apply as _p0_apply,
+                sy_meta as _sy_meta,
+            )
+
+            _unshard = jac_s.axis_name is None and not jac_s.shard_view
+            _meta = _sy_meta(program) if _unshard else None
+            if _meta is not None:
+                _jac_m32 = jac_s.materialize_scale()
+                _e32, _f32v = schur_views(program, _jac_m32)
+                _arrs = _sy_arrs(program, _e32, _f32v, _meta)
+                _tbl = _p0_apply(
+                    _meta,
+                    _arrs,
+                    _minv_segs(ete.inv_tables[_meta["e_cls"]], _meta),
+                )
+                _n_cls = len(program.tangent_class_sizes)
+                blocks = add_dsq_T(
+                    program,
+                    [
+                        _tbl if cls == _meta["f_cls"] else None
+                        for cls in range(_n_cls)
+                    ],
+                    dsq_f,
+                )
+            else:
+                blocks = schur_jacobi_blocks(
+                    program, jac_e, jac_f, ete, dsq_f
+                )
             prec = BlockDiagSolver(program, blocks)
         elif options.preconditioner_type == PreconditionerType.JACOBI:
             blocks = jac_f.block_diag_jtj(dsq=dsq_f)
@@ -644,7 +711,11 @@ def schur_solve(program, options, jac_s, res_groups, grad_s, dsq):
                 sy_meta,
             )
 
-            meta_sy = sy_meta(program)
+            meta_sy = (
+                sy_meta(program)
+                if jac_s.axis_name is None and not jac_s.shard_view
+                else None
+            )
             if meta_sy is not None:
                 mv_dt = (
                     jnp.bfloat16

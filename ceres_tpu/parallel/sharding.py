@@ -281,7 +281,7 @@ class ShardedEvaluator(Evaluator):
             jax.shard_map(
                 lambda arrays, state: _eval_impl(arrays, state, True),
                 mesh=mesh,
-                check_vma=False,
+                check_vma=True,
                 in_specs=(self.arrays_specs, rep),
                 out_specs=(rep, res_specs, jac_specs, rep),
             )
@@ -290,7 +290,7 @@ class ShardedEvaluator(Evaluator):
             jax.shard_map(
                 lambda arrays, state: _eval_impl(arrays, state, False)[0],
                 mesh=mesh,
-                check_vma=False,
+                check_vma=True,
                 in_specs=(self.arrays_specs, rep),
                 out_specs=rep,
             )
@@ -301,7 +301,7 @@ class ShardedEvaluator(Evaluator):
             jax.shard_map(
                 lambda arrays, state, delta: plus_fn(program, arrays, state, delta),
                 mesh=mesh,
-                check_vma=False,
+                check_vma=True,
                 in_specs=(self.arrays_specs, rep, rep),
                 out_specs=rep,
             )
@@ -354,7 +354,7 @@ class ShardedEvaluator(Evaluator):
             jax.shard_map(
                 _prepare_inner,
                 mesh=self.mesh,
-                check_vma=False,
+                check_vma=True,
                 in_specs=(jac_specs, res_specs, rep, rep),
                 out_specs=rep,
             )
@@ -391,7 +391,7 @@ class ShardedEvaluator(Evaluator):
             jax.shard_map(
                 _step_inner,
                 mesh=self.mesh,
-                check_vma=False,
+                check_vma=True,
                 in_specs=(jac_specs, res_specs, rep, rep, rep),
                 out_specs=(rep, rep, rep, rep),
             )

@@ -526,7 +526,7 @@ def make_chunk_fn(program, options, step_fn, sharded_evaluator=None):
         jax.shard_map(
             chunk_fn,
             mesh=sharded_evaluator.mesh,
-            check_vma=False,
+            check_vma=True,
             in_specs=in_specs,
             out_specs=out_specs,
         )

@@ -63,12 +63,15 @@ class _LBFGSMemory:
             q = q - alpha * y
             alphas.append((alpha, sy))
         if self.s_list:
-            s, y, sy = self.s_list[-1]
+            # Oren eigenvalue scaling gamma = s'y / y'y approximates the
+            # inverse Hessian's dominant eigenvalue; disabled, the initial
+            # H0 is the identity (gamma = 1). reference:
+            # low_rank_inverse_hessian.cc:134-160 (approximate_eigenvalue_
+            # scale_ applied only when use_approximate_eigenvalue_scaling_).
             if self.use_eigenvalue_scaling:
+                s, y, sy = self.s_list[-1]
                 gamma = sy / float(jnp.vdot(y, y))
-            else:
-                gamma = sy / float(jnp.vdot(y, y))
-            q = gamma * q
+                q = gamma * q
         for (s, y, sy), (alpha, _) in zip(self.s_list, reversed(alphas)):
             beta = float(jnp.vdot(y, q)) / sy
             q = q + (alpha - beta) * s

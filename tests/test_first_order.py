@@ -297,3 +297,32 @@ def test_covariance_sparse_qr_rank_deficient():
         CovarianceOptions(algorithm_type=CovarianceAlgorithmType.SPARSE_QR)
     )
     assert not cov.compute([(b, b)], p)
+
+
+def test_lbfgs_eigenvalue_scaling_changes_steps():
+    """use_approximate_eigenvalue_bfgs_scaling must actually change the
+    LBFGS direction (gamma = s'y/y'y vs the identity H0, reference:
+    low_rank_inverse_hessian.cc:134-160) — both variants converge, via
+    different iterate paths."""
+    gp = GradientProblem(rosenbrock_f, size=2)
+
+    def run(flag):
+        options = SolverOptions(
+            minimizer_type=MinimizerType.LINE_SEARCH,
+            line_search_direction_type=LineSearchDirectionType.LBFGS,
+            use_approximate_eigenvalue_bfgs_scaling=flag,
+            max_num_iterations=300,
+            function_tolerance=1e-14,
+            gradient_tolerance=1e-10,
+            parameter_tolerance=1e-14,
+        )
+        return solve_gradient_problem(options, gp, np.array([-1.2, 1.0]))
+
+    x_off, s_off = run(False)
+    x_on, s_on = run(True)
+    np.testing.assert_allclose(x_off, [1.0, 1.0], atol=1e-4)
+    np.testing.assert_allclose(x_on, [1.0, 1.0], atol=1e-4)
+    # the flag must change the trajectory: compare an early iterate's cost
+    costs_off = [it.cost for it in s_off.iterations[:10]]
+    costs_on = [it.cost for it in s_on.iterations[:10]]
+    assert costs_off != costs_on
