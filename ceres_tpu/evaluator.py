@@ -338,7 +338,9 @@ def evaluate(
             jac_groups.append(jacs)
 
     if axis_name is not None:
-        total_cost = jax.lax.psum(total_cost, axis_name)
+        from .jacobian import psum_hierarchical
+
+        total_cost = psum_hierarchical(total_cost, axis_name)
 
     jac = None
     grad = None

@@ -143,6 +143,34 @@ def _onehot_reduce_rows(contrib, rows, num_out, acc_dtype):
     return out[:, :num_out]
 
 
+def axis_linear_index(axis_name):
+    """Linear shard index for a (possibly multi-axis) mesh axis spec.
+
+    The hybrid DCN-aware mesh (parallel.distributed.hybrid_mesh) shards
+    lanes over ("dcn", "ici"); the shard-local bucket plans only need the
+    flattened position, row-major over the axis tuple (matching
+    PartitionSpec(("dcn", "ici")) lane ordering)."""
+    if isinstance(axis_name, (tuple, list)):
+        idx = jnp.asarray(0, jnp.int32)
+        for a in axis_name:
+            idx = idx * jax.lax.axis_size(a) + jax.lax.axis_index(a)
+        return idx
+    return jax.lax.axis_index(axis_name)
+
+
+def psum_hierarchical(x, axis_name):
+    """psum over a 1-D axis, or the explicit two-stage reduction over a
+    hybrid mesh: reduce within the FAST inner axis (ICI) first, then
+    across the host axis (DCN) — the SURVEY §2d two-level reduction (the
+    inner stage runs at ICI bandwidth; only one already-reduced value per
+    host crosses DCN)."""
+    if isinstance(axis_name, (tuple, list)):
+        for a in reversed(tuple(axis_name)):
+            x = jax.lax.psum(x, a)
+        return x
+    return jax.lax.psum(x, axis_name)
+
+
 def use_onehot_kernel(plan, n, dtype):
     """True when the fused Pallas gather/reduce kernels (pallas_onehot.py)
     should replace the XLA one-hot matmuls for this (plan, size, dtype)."""
@@ -181,7 +209,7 @@ def gather_T(plan, table, rows, axis_name=None):
             )
         return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
     if plan is not None and plan[0] == "bucket_sharded":
-        sidx = jax.lax.axis_index(axis_name)
+        sidx = axis_linear_index(axis_name)
         nrows, s = table.shape
         parts = []
         for (local_start, per_e, d, out_row) in plan[1]:
@@ -224,7 +252,7 @@ def gather_T_t(plan, table_t, rows, axis_name=None):
             )
         return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
     if plan is not None and plan[0] == "bucket_sharded":
-        sidx = jax.lax.axis_index(axis_name)
+        sidx = axis_linear_index(axis_name)
         s, ncols = table_t.shape
         parts = []
         for (local_start, per_e, d, out_row) in plan[1]:
@@ -273,7 +301,7 @@ def reduce_T(plan, contrib, rows, num_out, axis_name=None, acc_dtype=None):
             out = jax.lax.dynamic_update_slice(out, seg, (0, out_row))
         return out
     if plan is not None and plan[0] == "bucket_sharded":
-        sidx = jax.lax.axis_index(axis_name)
+        sidx = axis_linear_index(axis_name)
         out = jnp.zeros((k, num_out), acc_dtype)
         for (local_start, per_e, d, out_row) in plan[1]:
             seg = contrib[:, local_start : local_start + per_e * d].astype(acc_dtype)
@@ -387,7 +415,9 @@ class BlockJacobian:
         return self.program.num_residuals
 
     def _psum(self, x):
-        return jax.lax.psum(x, self.axis_name) if self.axis_name else x
+        if not self.axis_name:
+            return x
+        return psum_hierarchical(x, self.axis_name)
 
     def _dtype(self):
         for jacs in self.jac_groups:

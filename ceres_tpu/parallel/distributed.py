@@ -77,6 +77,35 @@ def global_mesh(axis: str = "dp"):
     return Mesh(np.array(jax.devices()), (axis,))
 
 
+def hybrid_mesh(dcn_axis: str = "dcn", ici_axis: str = "ici"):
+    """Two-level DCN-aware mesh: one row of fast-interconnect (ICI)
+    devices per host, hosts stacked along the DCN axis (SURVEY.md
+    §2d:332-339; the jax mesh_utils.create_hybrid_device_mesh shape for a
+    flat slice-per-host topology).
+
+    Lanes shard over BOTH axes (PartitionSpec((dcn, ici))); every
+    tangent-space reduction then runs two-stage — psum within each host's
+    ICI ring first, then one already-reduced value per host crosses DCN
+    (jacobian.psum_hierarchical). Pass to SolverOptions.mesh; the sharded
+    evaluator detects the 2-axis shape automatically.
+    """
+    import jax
+    from jax.sharding import Mesh
+
+    by_proc: dict = {}
+    for d in jax.devices():
+        by_proc.setdefault(d.process_index, []).append(d)
+    rows = [
+        sorted(v, key=lambda dd: dd.id) for _k, v in sorted(by_proc.items())
+    ]
+    per = len(rows[0])
+    if any(len(r) != per for r in rows):
+        raise ValueError(
+            "hybrid_mesh requires the same device count on every process"
+        )
+    return Mesh(np.array(rows, dtype=object), (dcn_axis, ici_axis))
+
+
 def replicate(x, mesh=None):
     """Turn a host value (same on every process) into a fully replicated
     global jax.Array so it can feed jitted sharded computations."""

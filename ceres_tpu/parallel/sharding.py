@@ -92,7 +92,17 @@ def put_global(mesh: Mesh, spec, leaf_fn, global_shape, dtype):
     )
 
 
-def build_sharded_arrays(program, mesh: Mesh, axis: str, dtype=None):
+def mesh_axis_size(mesh: Mesh, axis) -> int:
+    """Total shard count along a (possibly tuple) mesh axis spec."""
+    if isinstance(axis, (tuple, list)):
+        n = 1
+        for a in axis:
+            n *= mesh.shape[a]
+        return n
+    return mesh.shape[axis]
+
+
+def build_sharded_arrays(program, mesh: Mesh, axis, dtype=None):
     """Lay out each group's tensors in the shard-aware lane order (see
     Program.build_shard_layout): shard-major lanes, each shard's slice in
     its own interleaved bucket order so the scatter-free reduction plans
@@ -103,7 +113,7 @@ def build_sharded_arrays(program, mesh: Mesh, axis: str, dtype=None):
     devices own (per-process shard construction — the multi-host half of
     BASELINE config 5)."""
     dtype = dtype or default_dtype()
-    ndev = mesh.shape[axis]
+    ndev = mesh_axis_size(mesh, axis)
     num_eff = program.num_effective_parameters
     layouts = program.build_shard_layout(ndev)
 
@@ -254,9 +264,14 @@ class ShardedEvaluator(Evaluator):
     BlockJacobian stay device-sharded between calls.
     """
 
-    def __init__(self, program, mesh: Mesh, axis: str = "dp", dtype=None):
+    def __init__(self, program, mesh: Mesh, axis="dp", dtype=None):
         self.program = program
         self.mesh = mesh
+        if len(mesh.axis_names) > 1:
+            # hybrid DCN-aware mesh (parallel.distributed.hybrid_mesh):
+            # lanes shard over every axis, reductions run two-stage
+            # (psum_hierarchical) — the passed `axis` is ignored
+            axis = tuple(mesh.axis_names)
         self.axis = axis
         self.axis_name = axis
         self.dtype = dtype or default_dtype()

@@ -9,6 +9,9 @@ the final cost + parameters for the parent test to compare against a
 single-process solve.
 
 Usage: python mp_worker.py <pid> <nproc> <port> <bal_path> <out_npz>
+           [mesh_kind] [local_devices]
+mesh_kind: "flat" (1-D dp mesh, default) or "hybrid" (2-level dcn x ici
+mesh with two-stage reductions).
 """
 
 import os
@@ -23,6 +26,8 @@ def main():
     port = sys.argv[3]
     bal_path = sys.argv[4]
     out_path = sys.argv[5]
+    mesh_kind = sys.argv[6] if len(sys.argv) > 6 else "flat"
+    local_devices = int(sys.argv[7]) if len(sys.argv) > 7 else 4
 
     from ceres_tpu.parallel import distributed
 
@@ -31,13 +36,13 @@ def main():
         num_processes=nproc,
         process_id=pid,
         platform="cpu",
-        local_device_count=4,
+        local_device_count=local_devices,
     )
     import jax
 
     jax.config.update("jax_enable_x64", True)
     assert jax.process_count() == nproc, jax.process_count()
-    assert len(jax.devices()) == 4 * nproc
+    assert len(jax.devices()) == local_devices * nproc
 
     import numpy as np
 
@@ -47,11 +52,16 @@ def main():
 
     bal = load_bal_lazy(bal_path)
     problem, cam_ids, pt_ids = build_ba_problem(bal)
+    mesh = (
+        distributed.hybrid_mesh()
+        if mesh_kind == "hybrid"
+        else distributed.global_mesh("dp")
+    )
     options = SolverOptions(
         linear_solver_type=LinearSolverType.ITERATIVE_SCHUR,
         preconditioner_type=PreconditionerType.SCHUR_JACOBI,
         max_num_iterations=8,
-        mesh=distributed.global_mesh("dp"),
+        mesh=mesh,
     )
     summary = ceres_tpu.solve(options, problem)
     assert summary.used_fused_execution, "sharded solve must stay fused"
@@ -60,12 +70,16 @@ def main():
         cams = np.stack(
             [np.asarray(problem.parameter_block_value(h)) for h in cam_ids]
         )
+        pts = np.stack(
+            [np.asarray(problem.parameter_block_value(h)) for h in pt_ids]
+        )
         np.savez(
             out_path,
             final_cost=summary.final_cost,
             initial_cost=summary.initial_cost,
             iterations=len(summary.iterations) - 1,
             cameras=cams,
+            points=pts,
         )
     print(f"[p{pid}] ok final_cost={summary.final_cost}", flush=True)
 

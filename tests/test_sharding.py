@@ -96,3 +96,52 @@ def test_sharded_solve_matches_single_device(mesh, solver, prec):
         assert summary.used_fused_execution, (m, solver, prec)
         results.append(summary.final_cost)
     np.testing.assert_allclose(results[1], results[0], rtol=1e-6)
+
+
+def test_hybrid_mesh_solve_matches_single_device():
+    """Two-level DCN-aware mesh (SURVEY §2d:332-339): a 2x4 ("dcn","ici")
+    mesh emulating 2 hosts x 4 chips in one process. Lanes shard over both
+    axes and every reduction runs the explicit two-stage
+    psum_hierarchical (ICI first, then DCN); the solve must match the
+    single-device result."""
+    devs = jax.devices()
+    assert len(devs) >= 8
+    hmesh = Mesh(np.array(devs[:8]).reshape(2, 4), ("dcn", "ici"))
+
+    def run(mesh):
+        problem = make_problem(seed=11, n_obs=501)
+        options = SolverOptions(
+            linear_solver_type=LinearSolverType.ITERATIVE_SCHUR,
+            preconditioner_type=PreconditionerType.SCHUR_JACOBI,
+            max_num_iterations=6,
+            mesh=mesh,
+        )
+        summary = ceres_tpu.solve(options, problem)
+        return summary
+
+    s_hybrid = run(hmesh)
+    s_single = run(None)
+    assert s_hybrid.used_fused_execution
+    np.testing.assert_allclose(
+        s_hybrid.initial_cost, s_single.initial_cost, rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        s_hybrid.final_cost, s_single.final_cost, rtol=1e-5
+    )
+
+
+def test_hybrid_mesh_evaluation_matches(  # two-stage reductions are exact
+):
+    devs = jax.devices()
+    hmesh = Mesh(np.array(devs[:8]).reshape(2, 4), ("dcn", "ici"))
+    problem = make_problem(seed=4, n_obs=333)
+    program = problem.compile()
+    state = program.state_vector()
+    ev1 = program.evaluator()
+    cost1, _res1, _jac1, grad1 = ev1.evaluate_groups(state)
+    ev2 = ShardedEvaluator(program, hmesh)
+    cost2, _res2, _jac2, grad2 = ev2.evaluate_groups(state)
+    np.testing.assert_allclose(float(cost2), float(cost1), rtol=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(grad2), np.asarray(grad1), rtol=1e-8, atol=1e-10
+    )
