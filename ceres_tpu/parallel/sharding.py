@@ -116,6 +116,10 @@ def build_sharded_arrays(program, mesh: Mesh, axis, dtype=None):
     ndev = mesh_axis_size(mesh, axis)
     num_eff = program.num_effective_parameters
     layouts = program.build_shard_layout(ndev)
+    # record the active layout so global-view consumers (e.g. the
+    # visibility preconditioners' original-order reorder) can recover the
+    # lane permutation
+    program._active_shard_ndev = ndev
 
     def put(spec, leaf_fn, shape, leaf_dtype):
         return put_global(mesh, spec, leaf_fn, shape, leaf_dtype)

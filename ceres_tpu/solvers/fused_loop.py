@@ -92,9 +92,22 @@ def eligible(program, options, evaluator, raw_step_fn) -> bool:
     # column masking, projected gradient norms, and the projected line
     # search are all in-graph (see make_chunk_fn) — bounded BA keeps the
     # headline fused path (VERDICT r3 #8).
+    from ..types import PreconditionerType
+
+    # sharded + visibility clustering runs the host loop on the GLOBAL
+    # view (GSPMD) — the assembly's host-planned gathers cannot run inside
+    # the chunk's shard_map (trust_region cluster_gspmd path)
+    sharded_cluster = hasattr(evaluator, "wrap_step_fn") and (
+        options.preconditioner_type
+        in (
+            PreconditionerType.CLUSTER_JACOBI,
+            PreconditionerType.CLUSTER_TRIDIAGONAL,
+        )
+    )
     return (
         getattr(options, "fused_execution", True)
         and getattr(raw_step_fn, "jittable", True)
+        and not sharded_cluster
         and not options.use_inner_iterations
         and not options.callbacks
         and not options.update_state_every_iteration

@@ -65,11 +65,29 @@ class TrustRegionMinimizer:
         # reference's reuse_ flag (dogleg_strategy.cc:74-107,617-643).
         self._prepare_fn = self._finish_fn = None
         self._prepare_cache = self._prepare_key = None
+        from ..types import PreconditionerType
+
+        cluster_gspmd = hasattr(evaluator, "wrap_step_fn") and (
+            options.preconditioner_type
+            in (
+                PreconditionerType.CLUSTER_JACOBI,
+                PreconditionerType.CLUSTER_TRIDIAGONAL,
+            )
+        )
         if not getattr(raw_step_fn, "jittable", True):
             # host-path solvers (e.g. scipy sparse Cholesky) run un-jitted
             self.step_fn = raw_step_fn
-        elif hasattr(evaluator, "wrap_step_fn"):
+        elif hasattr(evaluator, "wrap_step_fn") and not cluster_gspmd:
             self.step_fn = evaluator.wrap_step_fn(raw_step_fn)
+        elif cluster_gspmd:
+            # visibility preconditioners assemble from host-planned
+            # global-lane-order gathers: run the step on the GLOBAL sharded
+            # view under jit (XLA GSPMD partitions the products) instead of
+            # shard_map — lifting the round-4 "not available for sharded"
+            # refusal (visibility_based_preconditioner.cc:574 role).
+            import jax
+
+            self.step_fn = jax.jit(raw_step_fn)
         else:
             import jax
 
