@@ -6,8 +6,20 @@ success bar is LRE > 4 certified digits per starting point, tiers per
 nist.cc:659-705. A representative cross-tier subset runs by default (kept
 small because each new dataset shape costs a jit compile on cold cache);
 set CERES_TPU_FULL_NIST=1 to fit all 27 datasets and check the tier totals
-measured in round 2: easy 16/16, medium 22/22, hard 15/16 (the one miss is
-BoxBOD start 1, a famously divergent start).
+measured in round 2: easy 16/16, medium 22/22, hard 15/16.
+
+The one miss is BoxBOD from start (b1, b2) = (1, 1) — root-caused in
+round 5: with the protocol's initial_trust_region_radius = 1e4
+(nist.cc:141) the first accepted steps blow b2 up to ~84, where
+exp(-b2 x) underflows for every datum, the model degenerates to the
+constant b1, and the solver converges to the GENUINE stationary point
+(b1, b2) = (172.5, 84.2) with an exactly-zero gradient (cost 4885.75 vs
+certified 584.0). The reference's LevenbergMarquardtStrategy applies the
+identical squared-column-norm clipping ([1e-6, 1e32],
+levenberg_marquardt_strategy.cc:87) and radius schedule, so it falls
+into the same basin — this is a property of the protocol's start/radius,
+not a solver defect (test_boxbod_start1_plateau_is_stationary below
+pins the analysis).
 """
 
 import os
@@ -102,3 +114,28 @@ def test_lre_scoring():
     assert log_relative_error(np.array([1.0]), np.array([1.0])) == 11.0
     assert 2.9 < log_relative_error(np.array([1.001]), np.array([1.0])) < 3.1
     assert log_relative_error(np.array([2.0]), np.array([1.0])) == 0.0
+
+
+def test_boxbod_start1_plateau_is_stationary():
+    """The BoxBOD start-(1,1) miss lands on a true stationary point: at
+    the converged (b1, b2) ~ (172.5, 84.2), exp(-b2 x) underflows for
+    every certified datum, so the b2 gradient is EXACTLY zero in f64 and
+    the b1 coordinate sits at the mean of y — no descent direction
+    exists. Any LM with the reference's radius/clipping protocol
+    terminates here; documents the 15/16 hard-tier score."""
+    import jax
+    import jax.numpy as jnp
+
+    ds = parse_nist_dat(os.path.join(NIST_DIR, "BoxBOD.dat"))
+    x = jnp.asarray(ds.data[:, 1], jnp.float64)
+    y = jnp.asarray(ds.data[:, 0], jnp.float64)
+
+    def cost(b):
+        r = y - b[0] * (1.0 - jnp.exp(-b[1] * x))
+        return 0.5 * jnp.sum(r * r)
+
+    b_plateau = jnp.asarray([float(jnp.mean(y)), 84.0], jnp.float64)
+    g = jax.grad(cost)(b_plateau)
+    np.testing.assert_allclose(np.asarray(g), 0.0, atol=1e-9)
+    # and it is NOT the certified optimum
+    assert float(cost(b_plateau)) > 5 * ds.certified_cost
