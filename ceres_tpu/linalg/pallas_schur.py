@@ -154,6 +154,60 @@ def build_sy_arrays(program, jac_e_m, jac_f_m, meta):
     return out
 
 
+def build_sy_arrays_scaled(program, jac_e, jac_f, meta):
+    """Segment arrays built directly from LAZY-scaled views — the column
+    scale is folded per segment (camera side: one-hot gather on the
+    sliced lanes; point side: a contiguous scale-table slice broadcast
+    over the d repeats), so the full scale-materialized Jacobian copy
+    never exists. This is the peak-HBM-critical path: at BAL-13682 scale
+    the materialize-then-slice route held jac + full copy + f32 segments
+    + bf16 segments at once (~10+ GB) and OOMed the chip."""
+    from ..evaluator import tangent_tables
+    from ..jacobian import _onehot_gather_rows
+
+    f_leaf = jac_f.jac_groups[0][0]
+    e_leaf = jac_e.jac_groups[0][0]
+    rows_f = jac_f.t_rows[0][0]
+    dump = meta["cnt_f"]
+    rt_f, rt_e = f_leaf.shape[0], e_leaf.shape[0]
+    r, te, tf = meta["r"], meta["te"], meta["tf"]
+    cs = jac_f.col_scale
+    if cs is not None:
+        st = tangent_tables(program, cs, pad_zero_row=True)
+        st_f = st[meta["f_cls"]].T  # [tf, cnt_f + 1]
+        st_e = st[meta["e_cls"]]  # [cnt_e + 1, te]
+    out = []
+    for (ls, n_seg, n_pad, d, out_row, _C) in meta["segs"]:
+        pad = n_pad - n_seg
+        dn = d * n_seg
+        rows_sl = jax.lax.dynamic_slice(rows_f, (ls,), (dn,))
+        fsl = jax.lax.dynamic_slice(f_leaf, (0, ls), (rt_f, dn))
+        esl = jax.lax.dynamic_slice(e_leaf, (0, ls), (rt_e, dn))
+        if cs is not None:
+            sf = _onehot_gather_rows(st_f.astype(fsl.dtype), rows_sl)
+            fsl = (
+                fsl.reshape(r, tf, dn) * sf[None]
+            ).reshape(rt_f, dn)
+            se = jax.lax.dynamic_slice(
+                st_e, (out_row, 0), (n_seg, te)
+            ).T.astype(esl.dtype)  # [te, n_seg], same for every repeat j
+            esl = (
+                esl.reshape(r, te, d, n_seg) * se[None, :, None, :]
+            ).reshape(rt_e, dn)
+
+        def seg3(x, k):
+            x = jnp.transpose(x.reshape(k, d, n_seg), (1, 0, 2))
+            return jnp.pad(x, ((0, 0), (0, 0), (0, pad)))
+
+        rows3 = jnp.pad(
+            rows_sl.reshape(d, 1, n_seg),
+            ((0, 0), (0, 0), (0, pad)),
+            constant_values=dump,
+        )
+        out.append((seg3(fsl, rt_f), seg3(esl, rt_e), rows3))
+    return out
+
+
 def build_minv_segments(inv_table, meta):
     """Slice the (E'E + D_e^2)^{-1} class table [te*te, cnt_e] per bucket
     segment (radius-dependent: rebuilt once per linear solve, outside the

@@ -293,12 +293,7 @@ def schur_prepare(program, options, jac_s):
     """
     from ..types import PreconditionerType
 
-    from .pallas_schur import (
-        build_minv_segments,
-        build_sy_arrays,
-        p0_apply,
-        sy_meta,
-    )
+    from .pallas_schur import build_minv_segments, p0_apply, sy_meta
 
     unsharded = jac_s.axis_name is None and not jac_s.shard_view
     meta_sy = sy_meta(program) if unsharded else None
@@ -308,15 +303,16 @@ def schur_prepare(program, options, jac_s):
     colnorm2 = jac_s.squared_column_norms()
     e_gram0 = ete_gram_tables(program, jac_e)
 
-    jac_mv32 = None
     if meta_sy is not None:
-        # f32 materialized segment arrays: shared by the fused S·y matvec
-        # (cast bf16 under mixed precision) and the fused preconditioner
-        # build (always f32 — bf16 assembly measured and REJECTED, see
-        # the SCHUR_JACOBI note below)
-        jac_mv32 = jac_s.materialize_scale()
-        jac_e_m32, jac_f_m32 = schur_views(program, jac_mv32)
-        sy_arrs32 = build_sy_arrays(program, jac_e_m32, jac_f_m32, meta_sy)
+        # working-precision segment arrays with the column scale folded
+        # per segment (build_sy_arrays_scaled — no full materialized
+        # copy): shared by the fused S·y matvec (cast bf16 under mixed
+        # precision) and the fused preconditioner build (always f32 —
+        # bf16 assembly measured and REJECTED, see the SCHUR_JACOBI note
+        # below)
+        from .pallas_schur import build_sy_arrays_scaled
+
+        sy_arrs32 = build_sy_arrays_scaled(program, jac_e, jac_f, meta_sy)
 
     precond = options.preconditioner_type
     if precond == PreconditionerType.SCHUR_JACOBI:
