@@ -205,7 +205,7 @@ def phase_eval1778():
 
 
 def _run_lm_config(problem, metric, baseline, dev, mixed=False,
-                   fixed_pcg=None, n_iters=16, **extra):
+                   fixed_pcg=None, n_iters=16, fused=True, **extra):
     """One fused-LM benchmark configuration (chunk=1: ONE device dispatch
     per LM iteration — no chunk amortization, the ~25 ms relay round trip
     per dispatch included). Emits the steady-state iteration time plus
@@ -226,6 +226,7 @@ def _run_lm_config(problem, metric, baseline, dev, mixed=False,
     options = SolverOptions(
         linear_solver_type=LinearSolverType.ITERATIVE_SCHUR,
         preconditioner_type=PreconditionerType.SCHUR_JACOBI,
+        fused_execution=fused,
         fused_execution_chunk_iters=1,
         max_num_iterations=n_iters,
         eta=1e-1,
@@ -359,9 +360,14 @@ def phase_lm13682():
         dev,
         mixed=True,
         n_iters=10,
+        # host loop: the fused chunk's while-carry live set (old+new
+        # Jacobian, segment arrays, eval temps in one program) exceeds
+        # one chip's HBM at this scale (XLA compile-time estimate 21 GB);
+        # the host loop's per-dispatch peaks fit comfortably
+        fused=False,
         baseline_note=(
             "V100 evaluation-only floor at 13682 scale "
-            "(no linear solve included)"
+            "(no linear solve included); host-loop dispatches"
         ),
     )
 
