@@ -154,15 +154,24 @@ def build_sy_arrays(program, jac_e_m, jac_f_m, meta):
     return out
 
 
-def build_sy_arrays_scaled(program, jac_e, jac_f, meta):
-    """Segment arrays built directly from LAZY-scaled views — the column
-    scale is folded per segment (camera side: one-hot gather on the
-    sliced lanes; point side: a contiguous scale-table slice broadcast
-    over the d repeats), so the full scale-materialized Jacobian copy
-    never exists. This is the peak-HBM-critical path: at BAL-13682 scale
-    the materialize-then-slice route held jac + full copy + f32 segments
-    + bf16 segments at once (~10+ GB) and OOMed the chip."""
+def _scale_tables(program, jac_f, meta):
     from ..evaluator import tangent_tables
+
+    cs = jac_f.col_scale
+    if cs is None:
+        return None, None
+    st = tangent_tables(program, cs, pad_zero_row=True)
+    return st[meta["f_cls"]].T, st[meta["e_cls"]]  # [tf, cnt_f+1], [cnt_e+1, te]
+
+
+def build_one_scaled_segment(
+    program, jac_e, jac_f, meta, seg_idx, st_f=None, st_e=None
+):
+    """One segment's (F3, E3, rows3) in working precision from LAZY-scaled
+    views — the column scale folds per segment (camera side: one-hot
+    gather on the sliced lanes; point side: a contiguous scale-table
+    slice broadcast over the d repeats), so the full scale-materialized
+    Jacobian copy never exists."""
     from ..jacobian import _onehot_gather_rows
 
     f_leaf = jac_f.jac_groups[0][0]
@@ -171,41 +180,45 @@ def build_sy_arrays_scaled(program, jac_e, jac_f, meta):
     dump = meta["cnt_f"]
     rt_f, rt_e = f_leaf.shape[0], e_leaf.shape[0]
     r, te, tf = meta["r"], meta["te"], meta["tf"]
-    cs = jac_f.col_scale
-    if cs is not None:
-        st = tangent_tables(program, cs, pad_zero_row=True)
-        st_f = st[meta["f_cls"]].T  # [tf, cnt_f + 1]
-        st_e = st[meta["e_cls"]]  # [cnt_e + 1, te]
-    out = []
-    for (ls, n_seg, n_pad, d, out_row, _C) in meta["segs"]:
-        pad = n_pad - n_seg
-        dn = d * n_seg
-        rows_sl = jax.lax.dynamic_slice(rows_f, (ls,), (dn,))
-        fsl = jax.lax.dynamic_slice(f_leaf, (0, ls), (rt_f, dn))
-        esl = jax.lax.dynamic_slice(e_leaf, (0, ls), (rt_e, dn))
-        if cs is not None:
-            sf = _onehot_gather_rows(st_f.astype(fsl.dtype), rows_sl)
-            fsl = (
-                fsl.reshape(r, tf, dn) * sf[None]
-            ).reshape(rt_f, dn)
-            se = jax.lax.dynamic_slice(
-                st_e, (out_row, 0), (n_seg, te)
-            ).T.astype(esl.dtype)  # [te, n_seg], same for every repeat j
-            esl = (
-                esl.reshape(r, te, d, n_seg) * se[None, :, None, :]
-            ).reshape(rt_e, dn)
+    (ls, n_seg, n_pad, d, out_row, _C) = meta["segs"][seg_idx]
+    pad = n_pad - n_seg
+    dn = d * n_seg
+    rows_sl = jax.lax.dynamic_slice(rows_f, (ls,), (dn,))
+    fsl = jax.lax.dynamic_slice(f_leaf, (0, ls), (rt_f, dn))
+    esl = jax.lax.dynamic_slice(e_leaf, (0, ls), (rt_e, dn))
+    if st_f is not None:
+        sf = _onehot_gather_rows(st_f.astype(fsl.dtype), rows_sl)
+        fsl = (fsl.reshape(r, tf, dn) * sf[None]).reshape(rt_f, dn)
+        se = jax.lax.dynamic_slice(
+            st_e, (out_row, 0), (n_seg, te)
+        ).T.astype(esl.dtype)  # [te, n_seg], same for every repeat j
+        esl = (
+            esl.reshape(r, te, d, n_seg) * se[None, :, None, :]
+        ).reshape(rt_e, dn)
 
-        def seg3(x, k):
-            x = jnp.transpose(x.reshape(k, d, n_seg), (1, 0, 2))
-            return jnp.pad(x, ((0, 0), (0, 0), (0, pad)))
+    def seg3(x, k):
+        x = jnp.transpose(x.reshape(k, d, n_seg), (1, 0, 2))
+        return jnp.pad(x, ((0, 0), (0, 0), (0, pad)))
 
-        rows3 = jnp.pad(
-            rows_sl.reshape(d, 1, n_seg),
-            ((0, 0), (0, 0), (0, pad)),
-            constant_values=dump,
+    rows3 = jnp.pad(
+        rows_sl.reshape(d, 1, n_seg),
+        ((0, 0), (0, 0), (0, pad)),
+        constant_values=dump,
+    )
+    return seg3(fsl, rt_f), seg3(esl, rt_e), rows3
+
+
+def build_sy_arrays_scaled(program, jac_e, jac_f, meta):
+    """All segments via build_one_scaled_segment (callers that can afford
+    every working-precision segment live at once; the peak-HBM path in
+    schur_prepare interleaves build/consume/cast per segment instead)."""
+    st_f, st_e = _scale_tables(program, jac_f, meta)
+    return [
+        build_one_scaled_segment(
+            program, jac_e, jac_f, meta, i, st_f, st_e
         )
-        out.append((seg3(fsl, rt_f), seg3(esl, rt_e), rows3))
-    return out
+        for i in range(len(meta["segs"]))
+    ]
 
 
 def build_minv_segments(inv_table, meta):
@@ -500,9 +513,8 @@ def _p0_kernel(rows_ref, f_ref, e_ref, minv_ref, out_ref, *, d, r, te, tf, A):
     out_ref[:] += acc
 
 
-def p0_apply(meta, seg_arrays, minv0_segs):
-    """SCHUR_JACOBI diagonal [tf*tf, cnt_f] (no LM diagonal) from f32
-    segment arrays + the ridge-(E'E)^{-1} segment slices."""
+def p0_seg_call(seg_meta, meta, F3, E3, rows3, minv):
+    """One segment's partial SCHUR_JACOBI accumulation [tf*tf*B, A]."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -510,42 +522,51 @@ def p0_apply(meta, seg_arrays, minv0_segs):
 
     r, te, tf, A = meta["r"], meta["te"], meta["tf"], meta["A"]
     kb = tf * tf * B
+    (_ls, _n_seg, n_pad, d, _out_row, C) = seg_meta
+    rt_f, rt_e = F3.shape[1], E3.shape[1]
+    kern = functools.partial(_p0_kernel, d=d, r=r, te=te, tf=tf, A=A)
+    return pl.pallas_call(
+        kern,
+        grid=(n_pad // C,),
+        in_specs=[
+            pl.BlockSpec(
+                (d, 1, C), lambda k: (0, 0, k), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (d, rt_f, C),
+                lambda k: (0, 0, k),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (d, rt_e, C),
+                lambda k: (0, 0, k),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (te * te, C), lambda k: (0, k), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (kb, A), lambda k: (0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((kb, A), jnp.float32),
+        interpret=_interpret_mode(),
+    )(rows3, F3, E3, minv)
+
+
+def p0_unpack(acc, meta):
+    tf = meta["tf"]
+    tbl = _unpack_table(acc, tf * tf, meta["A"], meta["ncols_f"])
+    return tbl[:, : meta["cnt_f"]]
+
+
+def p0_apply(meta, seg_arrays, minv0_segs):
+    """SCHUR_JACOBI diagonal [tf*tf, cnt_f] (no LM diagonal) from
+    working-precision segment arrays + the ridge-(E'E)^{-1} slices."""
     acc = None
     for seg_meta, (F3, E3, rows3), minv in zip(
         meta["segs"], seg_arrays, minv0_segs
     ):
-        (_ls, _n_seg, n_pad, d, _out_row, C) = seg_meta
-        rt_f, rt_e = F3.shape[1], E3.shape[1]
-        kern = functools.partial(
-            _p0_kernel, d=d, r=r, te=te, tf=tf, A=A
-        )
-        part = pl.pallas_call(
-            kern,
-            grid=(n_pad // C,),
-            in_specs=[
-                pl.BlockSpec(
-                    (d, 1, C), lambda k: (0, 0, k), memory_space=pltpu.VMEM
-                ),
-                pl.BlockSpec(
-                    (d, rt_f, C),
-                    lambda k: (0, 0, k),
-                    memory_space=pltpu.VMEM,
-                ),
-                pl.BlockSpec(
-                    (d, rt_e, C),
-                    lambda k: (0, 0, k),
-                    memory_space=pltpu.VMEM,
-                ),
-                pl.BlockSpec(
-                    (te * te, C), lambda k: (0, k), memory_space=pltpu.VMEM
-                ),
-            ],
-            out_specs=pl.BlockSpec(
-                (kb, A), lambda k: (0, 0), memory_space=pltpu.VMEM
-            ),
-            out_shape=jax.ShapeDtypeStruct((kb, A), jnp.float32),
-            interpret=_interpret_mode(),
-        )(rows3, F3, E3, minv)
+        part = p0_seg_call(seg_meta, meta, F3, E3, rows3, minv)
         acc = part if acc is None else acc + part
-    tbl = _unpack_table(acc, tf * tf, A, meta["ncols_f"])
-    return tbl[:, : meta["cnt_f"]]
+    return p0_unpack(acc, meta)

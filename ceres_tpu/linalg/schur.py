@@ -293,7 +293,14 @@ def schur_prepare(program, options, jac_s):
     """
     from ..types import PreconditionerType
 
-    from .pallas_schur import build_minv_segments, p0_apply, sy_meta
+    from .pallas_schur import (
+        _scale_tables,
+        build_minv_segments,
+        build_one_scaled_segment,
+        p0_seg_call,
+        p0_unpack,
+        sy_meta,
+    )
 
     unsharded = jac_s.axis_name is None and not jac_s.shard_view
     meta_sy = sy_meta(program) if unsharded else None
@@ -303,19 +310,11 @@ def schur_prepare(program, options, jac_s):
     colnorm2 = jac_s.squared_column_norms()
     e_gram0 = ete_gram_tables(program, jac_e)
 
-    if meta_sy is not None:
-        # working-precision segment arrays with the column scale folded
-        # per segment (build_sy_arrays_scaled — no full materialized
-        # copy): shared by the fused S·y matvec (cast bf16 under mixed
-        # precision) and the fused preconditioner build (always f32 —
-        # bf16 assembly measured and REJECTED, see the SCHUR_JACOBI note
-        # below)
-        from .pallas_schur import build_sy_arrays_scaled
-
-        sy_arrs32 = build_sy_arrays_scaled(program, jac_e, jac_f, meta_sy)
-
     precond = options.preconditioner_type
-    if precond == PreconditionerType.SCHUR_JACOBI:
+    p0 = None
+    sy_cached = None
+
+    def _ridge_ete():
         # The cached correction's (E^T E)^{-1} carries no LM diagonal, so
         # weakly observed points would make it explode (catastrophically in
         # f32). Floor the diagonal at a dtype-relative ridge: corr(ridge)
@@ -325,52 +324,69 @@ def schur_prepare(program, options, jac_s):
             program.schur_tangent_masks()[0], dtype=colnorm2.dtype
         )
         ridge = 100.0 * float(jnp.finfo(colnorm2.dtype).eps)
-        ete0 = ete_solver_from_gram(
+        return ete_solver_from_gram(
             program, e_gram0, ridge * colnorm2 * e_mask
         )
-        zero = jnp.zeros_like(colnorm2)
-        # NOTE: a bf16 assembly of these tables was measured (round 4) and
-        # REJECTED: the ~4e-3 entry noise degraded this preconditioner —
-        # which converges BAL-1778 PCG in ~3 iterations — to ~6.6 mean
-        # iterations, costing ~60 ms/LM-iteration against a ~25 ms
-        # assembly saving. Exact f32/f64 assembly stays (the fused kernel
-        # path is f32-exact via 3-plane contributions).
-        if meta_sy is not None:
+
+    if meta_sy is not None:
+        # Per-segment pipeline: build the working-precision segment (scale
+        # folded from the LAZY views — no full materialized copy), feed it
+        # to the fused SCHUR_JACOBI build, then cast for the matvec cache.
+        # Only ONE segment's f32 arrays are transient at a time — at
+        # BAL-13682 scale holding all of (raw J, f32 segments, bf16
+        # segments) simultaneously exhausts the chip's HBM (measured).
+        # NOTE on precision: a bf16 assembly of the preconditioner tables
+        # was measured (round 4) and REJECTED (~4e-3 entry noise degraded
+        # PCG convergence 3 -> 6.6 mean iterations); the fused build stays
+        # f32-exact via 3-plane contributions.
+        st_f, st_e = _scale_tables(program, jac_f, meta_sy)
+        minv0_segs = None
+        if precond == PreconditionerType.SCHUR_JACOBI:
             minv0_segs = build_minv_segments(
-                ete0.inv_tables[meta_sy["e_cls"]], meta_sy
+                _ridge_ete().inv_tables[meta_sy["e_cls"]], meta_sy
             )
-            tbl = p0_apply(meta_sy, sy_arrs32, minv0_segs)
+        sy_cached = []
+        acc = None
+        for i, seg_meta in enumerate(meta_sy["segs"]):
+            f3, e3, r3 = build_one_scaled_segment(
+                program, jac_e, jac_f, meta_sy, i, st_f, st_e
+            )
+            if minv0_segs is not None:
+                part = p0_seg_call(
+                    seg_meta, meta_sy, f3, e3, r3, minv0_segs[i]
+                )
+                acc = part if acc is None else acc + part
+            if mixed:
+                f3 = f3.astype(jnp.bfloat16)
+                e3 = e3.astype(jnp.bfloat16)
+            sy_cached.append((f3, e3, r3))
+        if minv0_segs is not None:
+            tbl = p0_unpack(acc, meta_sy)
             n_cls = len(program.tangent_class_sizes)
             p0 = [
                 tbl if cls == meta_sy["f_cls"] else None
                 for cls in range(n_cls)
             ]
-        else:
-            p0 = schur_jacobi_blocks(program, jac_e, jac_f, ete0, zero)
+        elif precond == PreconditionerType.JACOBI:
+            p0 = jac_f.block_diag_jtj(dsq=None)
+    elif precond == PreconditionerType.SCHUR_JACOBI:
+        zero = jnp.zeros_like(colnorm2)
+        p0 = schur_jacobi_blocks(program, jac_e, jac_f, _ridge_ete(), zero)
     elif precond == PreconditionerType.JACOBI:
         p0 = jac_f.block_diag_jtj(dsq=None)
-    else:  # IDENTITY
-        p0 = None
     # The PCG matvec's scale-materialized (and, under mixed precision,
     # bf16-cast) Jacobian leaves are radius-independent too — cache them so
-    # rejected-step retries skip the materialize pass. No extra peak
-    # memory: schur_finish previously built the same copy transiently.
-    # When the fused single-pass S·y kernel is eligible
-    # (pallas_schur.sy_meta), its per-segment operand layout REPLACES the
-    # cached leaves (same bytes, segment-padded).
+    # rejected-step retries skip the materialize pass. When the fused
+    # single-pass S·y kernel is eligible (pallas_schur.sy_meta), its
+    # per-segment operand layout REPLACES the cached leaves (same bytes,
+    # segment-padded).
     cache = {
         "colnorm2": colnorm2,
         "e_gram0": list(e_gram0),
         "p0": None if p0 is None else list(p0),
     }
-    if meta_sy is not None:
-        if mixed:
-            cache["sy_arrs"] = [
-                (f3.astype(jnp.bfloat16), e3.astype(jnp.bfloat16), r3)
-                for (f3, e3, r3) in sy_arrs32
-            ]
-        else:
-            cache["sy_arrs"] = sy_arrs32
+    if sy_cached is not None:
+        cache["sy_arrs"] = sy_cached
     elif unsharded:
         jac_mv = jac_s.materialize_scale()
         if mixed:
