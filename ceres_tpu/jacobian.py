@@ -173,7 +173,9 @@ def psum_hierarchical(x, axis_name):
 
 def use_onehot_kernel(plan, n, dtype):
     """True when the fused Pallas gather/reduce kernels (pallas_onehot.py)
-    should replace the XLA one-hot matmuls for this (plan, size, dtype)."""
+    should replace the XLA one-hot matmuls for this (plan, size, dtype).
+    Callers additionally skip shard_view jacs: a pallas_call over a
+    GLOBAL sharded array cannot be GSPMD-partitioned."""
     if plan is None or plan[0] != "onehot":
         return False
     if dtype not in (jnp.float32, jnp.bfloat16):
@@ -605,7 +607,7 @@ class BlockJacobian:
                     continue
                 t = pm.tangent_size
                 plan = self.plan(gi, vpos)
-                if use_onehot_kernel(plan, n, leaf_dt):
+                if not self.shard_view and use_onehot_kernel(plan, n, leaf_dt):
                     from .pallas_onehot import gather_contract
 
                     acc = acc + gather_contract(
@@ -643,7 +645,7 @@ class BlockJacobian:
                     continue
                 t = pm.tangent_size
                 plan = self.plan(gi, vpos)
-                if use_onehot_kernel(plan, n, leaf_dt):
+                if not self.shard_view and use_onehot_kernel(plan, n, leaf_dt):
                     from .pallas_onehot import contract_reduce
 
                     acc[pm.t_cls] = acc[pm.t_cls] + contract_reduce(
@@ -684,7 +686,7 @@ class BlockJacobian:
                     continue
                 t = pm.tangent_size
                 plan = self.plan(gi, vpos)
-                if use_onehot_kernel(plan, n, leaf_dt):
+                if not self.shard_view and use_onehot_kernel(plan, n, leaf_dt):
                     from .pallas_onehot import gather_contract
 
                     acc = acc + gather_contract(
@@ -724,7 +726,7 @@ class BlockJacobian:
                 t = pm.tangent_size
                 cnt = self.program.tangent_class_counts[pm.t_cls]
                 plan = self.plan(gi, vpos)
-                if use_onehot_kernel(plan, n, leaf_dt):
+                if not self.shard_view and use_onehot_kernel(plan, n, leaf_dt):
                     from .pallas_onehot import contract_reduce
 
                     acc[pm.t_cls] = acc[pm.t_cls] + contract_reduce(
