@@ -205,7 +205,8 @@ def phase_eval1778():
 
 
 def _run_lm_config(problem, metric, baseline, dev, mixed=False,
-                   fixed_pcg=None, n_iters=16, fused=True, **extra):
+                   fixed_pcg=None, n_iters=16, fused=True, split=False,
+                   **extra):
     """One fused-LM benchmark configuration (chunk=1: ONE device dispatch
     per LM iteration — no chunk amortization, the ~25 ms relay round trip
     per dispatch included). Emits the steady-state iteration time plus
@@ -227,6 +228,7 @@ def _run_lm_config(problem, metric, baseline, dev, mixed=False,
         linear_solver_type=LinearSolverType.ITERATIVE_SCHUR,
         preconditioner_type=PreconditionerType.SCHUR_JACOBI,
         fused_execution=fused,
+        split_step_dispatch=split,
         fused_execution_chunk_iters=1,
         max_num_iterations=n_iters,
         eta=1e-1,
@@ -365,9 +367,13 @@ def phase_lm13682():
         # one chip's HBM at this scale (XLA compile-time estimate 21 GB);
         # the host loop's per-dispatch peaks fit comfortably
         fused=False,
+        # split rhs/preconditioner and PCG/back-substitution dispatches:
+        # the combined step executable's workspace exceeds one chip's HBM
+        # at this scale
+        split=True,
         baseline_note=(
             "V100 evaluation-only floor at 13682 scale "
-            "(no linear solve included); host-loop dispatches"
+            "(no linear solve included); host-loop split dispatches"
         ),
     )
 

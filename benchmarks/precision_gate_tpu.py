@@ -179,7 +179,7 @@ program.write_state_back(np.load({state_file!r})["state"])
 options = SolverOptions(
     linear_solver_type=LinearSolverType.ITERATIVE_SCHUR,
     preconditioner_type=PreconditionerType.SCHUR_JACOBI,
-    max_num_iterations=15, eta=1e-2, max_linear_solver_iterations=50,
+    max_num_iterations=30, eta=1e-2, max_linear_solver_iterations=50,
     fused_execution_chunk_iters=5,
     function_tolerance=g.FUNCTION_TOLERANCE,
 )

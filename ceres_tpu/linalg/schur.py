@@ -399,10 +399,14 @@ def schur_prepare(program, options, jac_s):
     return cache
 
 
-def schur_finish(program, options, jac_s, res_groups, grad_s, dsq, cache):
-    """Radius-dependent half: exact (E^T E + D_e^2)^{-1} from the cached
-    grams, preconditioner assembly (diagonal add + small batched inverses),
-    then the tvec PCG + back-substitution. Returns (step, lin_iters)."""
+def schur_finish_rhs(program, options, jac_s, grad_s, dsq, cache):
+    """First half of the radius-dependent work: exact (E^T E + D_e^2)^{-1}
+    from the cached grams, preconditioner assembly, and the reduced-system
+    rhs. Returns a pytree `inter` for schur_finish_solve. Split out so the
+    host loop can issue the two halves as SEPARATE dispatches
+    (SolverOptions.split_step_dispatch): at BAL-13682 scale the combined
+    finish executable's workspace exceeds one chip's HBM even though each
+    half fits comfortably (measured round 5)."""
     dtype = grad_s.dtype
     e_mask_np, f_mask_np = program.schur_tangent_masks()
     e_mask = jnp.asarray(e_mask_np, dtype=dtype)
@@ -412,24 +416,61 @@ def schur_finish(program, options, jac_s, res_groups, grad_s, dsq, cache):
     dsq_e = dsq * e_mask
     dsq_f = dsq * f_mask
     g_e = grad_s * e_mask
-    g_f = grad_s * f_mask
 
     ete = ete_solver_from_gram(program, cache["e_gram0"], dsq_e)
 
     split0 = _pure_class_split(program)
-    prec = None
+    prec_inv = None
     if cache["p0"] is not None:
         blocks = add_dsq_T(program, list(cache["p0"]), dsq_f)
-        prec = BlockDiagSolver(
-            program,
-            blocks,
-            only_classes=split0[0] if split0 is not None else None,
+        prec_inv = dict(
+            BlockDiagSolver(
+                program,
+                blocks,
+                only_classes=split0[0] if split0 is not None else None,
+            ).inv_tables
         )
 
     # rhs = -g_f + F^T E M^{-1} g_e
     t2 = ete(g_e)
     et2 = jac_e.right_multiply(t2)
-    rhs = -g_f + jac_f.left_multiply(et2)
+    rhs = -(grad_s * f_mask) + jac_f.left_multiply(et2)
+    return {
+        "ete_inv": dict(ete.inv_tables),
+        "prec_inv": prec_inv,
+        "rhs": rhs,
+    }
+
+
+def schur_finish(program, options, jac_s, res_groups, grad_s, dsq, cache):
+    """Radius-dependent half: rhs/preconditioner stage + tvec PCG +
+    back-substitution (see schur_finish_rhs / schur_finish_solve).
+    Returns (step, lin_iters)."""
+    inter = schur_finish_rhs(program, options, jac_s, grad_s, dsq, cache)
+    return schur_finish_solve(
+        program, options, jac_s, grad_s, dsq, cache, inter
+    )
+
+
+def schur_finish_solve(program, options, jac_s, grad_s, dsq, cache, inter):
+    """Second half: the tvec PCG on the reduced camera system and the
+    e-block back-substitution, from schur_finish_rhs's intermediates."""
+    dtype = grad_s.dtype
+    e_mask_np, f_mask_np = program.schur_tangent_masks()
+    e_mask = jnp.asarray(e_mask_np, dtype=dtype)
+    f_mask = jnp.asarray(f_mask_np, dtype=dtype)
+
+    jac_e, jac_f = schur_views(program, jac_s)
+    dsq_f = dsq * f_mask
+    g_e = grad_s * e_mask
+    rhs = inter["rhs"]
+
+    ete = BlockDiagSolver.from_inverse_tables(program, inter["ete_inv"])
+    prec = (
+        BlockDiagSolver.from_inverse_tables(program, inter["prec_inv"])
+        if inter["prec_inv"] is not None
+        else None
+    )
 
     dsq_f_tv = jac_s.tvec(dsq_f)
     b_tv = jac_s.tvec(rhs)

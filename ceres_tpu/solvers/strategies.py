@@ -150,7 +150,12 @@ def make_lm_step_fn(program, options, evaluator):
         and not getattr(options, "use_explicit_schur_complement", False)
         and not getattr(options, "use_spse_initialization", False)
     ):
-        from ..linalg.schur import schur_finish, schur_prepare
+        from ..linalg.schur import (
+            schur_finish,
+            schur_finish_rhs,
+            schur_finish_solve,
+            schur_prepare,
+        )
 
         def prepare_fn(jac, res_groups, grad, scale):
             return schur_prepare(program, options, jac.scale_columns(scale))
@@ -167,8 +172,33 @@ def make_lm_step_fn(program, options, evaluator):
             valid = jnp.logical_and(jnp.all(jnp.isfinite(delta)), mcc > 0)
             return delta, mcc, lin_iters, valid
 
+        # split-dispatch twins (SolverOptions.split_step_dispatch): the
+        # host loop issues rhs/preconditioner and PCG/back-substitution as
+        # SEPARATE device programs — at BAL-13682 scale the combined
+        # executable's workspace exceeds one chip's HBM.
+        def finish_stage1(jac, res_groups, grad, radius, scale, cache):
+            jac_s = jac.scale_columns(scale)
+            grad_s = grad * scale
+            dsq = jnp.clip(cache["colnorm2"], min_diag, max_diag) / radius
+            return schur_finish_rhs(
+                program, options, jac_s, grad_s, dsq, cache
+            )
+
+        def finish_stage2(jac, res_groups, grad, radius, scale, cache, inter):
+            jac_s = jac.scale_columns(scale)
+            grad_s = grad * scale
+            dsq = jnp.clip(cache["colnorm2"], min_diag, max_diag) / radius
+            step, lin_iters = schur_finish_solve(
+                program, options, jac_s, grad_s, dsq, cache, inter
+            )
+            mcc = _model_cost_change(jac_s, step, res_groups)
+            delta = scale * step
+            valid = jnp.logical_and(jnp.all(jnp.isfinite(delta)), mcc > 0)
+            return delta, mcc, lin_iters, valid
+
         step_fn.prepare = prepare_fn
         step_fn.finish = finish_fn
+        step_fn.finish_two_stage = (finish_stage1, finish_stage2)
 
     if (
         solver_type == LinearSolverType.CGNR

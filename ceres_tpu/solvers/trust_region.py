@@ -64,6 +64,7 @@ class TrustRegionMinimizer:
         # `prepare` across consecutive rejected steps, the role of the
         # reference's reuse_ flag (dogleg_strategy.cc:74-107,617-643).
         self._prepare_fn = self._finish_fn = None
+        self._split_finish = None
         self._prepare_cache = self._prepare_key = None
         from ..types import PreconditionerType
 
@@ -95,6 +96,11 @@ class TrustRegionMinimizer:
             if hasattr(raw_step_fn, "prepare"):
                 self._prepare_fn = jax.jit(raw_step_fn.prepare)
                 self._finish_fn = jax.jit(raw_step_fn.finish)
+                if getattr(options, "split_step_dispatch", False) and hasattr(
+                    raw_step_fn, "finish_two_stage"
+                ):
+                    a, b = raw_step_fn.finish_two_stage
+                    self._split_finish = (jax.jit(a), jax.jit(b))
 
         self._fused_chunk_fn = None
         from .fused_loop import eligible, make_chunk_fn
@@ -322,14 +328,27 @@ class TrustRegionMinimizer:
                         jac, res_groups, grad, iter_scale
                     )
                     self._prepare_key = key
-                delta, mcc, lin_iters, valid = self._finish_fn(
-                    jac,
-                    res_groups,
-                    grad,
-                    jnp.asarray(radius, state.dtype),
-                    iter_scale,
-                    self._prepare_cache,
-                )
+                if self._split_finish is not None:
+                    # two separate device programs (split_step_dispatch):
+                    # rhs/preconditioner, then PCG/back-substitution
+                    _r = jnp.asarray(radius, state.dtype)
+                    inter = self._split_finish[0](
+                        jac, res_groups, grad, _r, iter_scale,
+                        self._prepare_cache,
+                    )
+                    delta, mcc, lin_iters, valid = self._split_finish[1](
+                        jac, res_groups, grad, _r, iter_scale,
+                        self._prepare_cache, inter,
+                    )
+                else:
+                    delta, mcc, lin_iters, valid = self._finish_fn(
+                        jac,
+                        res_groups,
+                        grad,
+                        jnp.asarray(radius, state.dtype),
+                        iter_scale,
+                        self._prepare_cache,
+                    )
             else:
                 delta, mcc, lin_iters, valid = self.step_fn(
                     jac, res_groups, grad, jnp.asarray(radius, state.dtype), iter_scale

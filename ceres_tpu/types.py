@@ -253,6 +253,12 @@ class SolverOptions:
     # preconditioner/RHS/back-substitution stay float32; the trust region's
     # own accept/reject loop absorbs the inexactness of the step.
     use_mixed_precision_solves: bool = False
+    # Issue the LM step's rhs/preconditioner stage and PCG/back-substitution
+    # stage as SEPARATE device dispatches (host loop only; implies
+    # fused_execution=False is recommended). Needed when one combined step
+    # executable's workspace exceeds a single chip's HBM (e.g. the full
+    # BAL-13682 solve on one 16 GB chip). TPU-specific; no reference analog.
+    split_step_dispatch: bool = False
     max_num_refinement_iterations: int = 0
 
     # --- numerics (TPU-specific; replaces the reference's fp64-everywhere) ---

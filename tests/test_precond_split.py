@@ -114,3 +114,38 @@ def test_fused_split_matches_host_and_reports_rebuilds():
     # rebuilds happen only on accepted steps: strictly fewer than
     # iterations whenever any step was rejected, never more than successes
     assert rebuilds <= s_f.num_successful_steps + 1
+
+
+def test_split_step_dispatch_matches_combined():
+    """SolverOptions.split_step_dispatch issues the LM step as two device
+    programs (rhs/preconditioner, then PCG/back-substitution) — required
+    at BAL-13682 scale where one combined executable's workspace exceeds
+    a chip's HBM. Bitwise-equal solve vs the combined path."""
+    import ceres_tpu
+    from ceres_tpu import HuberLoss
+    from ceres_tpu.io.bal import build_ba_problem, synthetic_bal
+    from ceres_tpu.types import (
+        LinearSolverType,
+        PreconditionerType,
+        SolverOptions,
+    )
+
+    def run(split):
+        bal = synthetic_bal(
+            12, 300, 1501, seed=5, observation_noise=2.0, perturb_points=0.5
+        )
+        problem, _, _ = build_ba_problem(bal, loss=HuberLoss(1.0))
+        o = SolverOptions(
+            linear_solver_type=LinearSolverType.ITERATIVE_SCHUR,
+            preconditioner_type=PreconditionerType.SCHUR_JACOBI,
+            max_num_iterations=8,
+            eta=1e-1,
+            max_linear_solver_iterations=25,
+            fused_execution=False,
+            split_step_dispatch=split,
+        )
+        return ceres_tpu.solve(o, problem)
+
+    a = run(False)
+    b = run(True)
+    assert b.final_cost == pytest.approx(a.final_cost, rel=1e-10)
